@@ -1,0 +1,129 @@
+"""Golden-math tests for the frontend core vs an independent float64 oracle."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from leaf_tpu.frontend import melbanks, filters, impulse_responses
+from leaf_tpu.frontend.convolution import gabor_constraint
+from leaf_tpu.frontend.postprocessing import ema_scan
+
+from tests import reference_numpy as oracle
+
+
+class TestMelbanks:
+    def test_matches_oracle(self):
+        fb = melbanks.melscale_fbanks(257, 60.0, 7800.0, 40, 16000)
+        ref = oracle.mel_filterbank(257, 60.0, 7800.0, 40, 16000).T
+        assert fb.shape == (257, 40)
+        np.testing.assert_allclose(fb, ref, atol=1e-6)
+
+    def test_rows_sum_positive(self):
+        fb = melbanks.melscale_fbanks(257, 60.0, 7800.0, 40, 16000)
+        assert (fb.sum(axis=0) > 0).all()
+        assert fb.min() == 0.0
+        assert fb.max() <= 1.0
+
+
+class TestGaborParams:
+    def test_mel_init_matches_oracle(self):
+        got = filters.GaborParams(
+            n_filters=40, min_freq=60.0, max_freq=7800.0, sample_rate=16000, window_len=401
+        ).gabor_params_from_mels()
+        ref = oracle.gabor_params_from_mels()
+        assert got.shape == (40, 2)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+    def test_centers_increase(self):
+        got = filters.GaborParams(n_filters=40, min_freq=60.0, max_freq=7800.0).gabor_params_from_mels()
+        mu = got[:, 0]
+        assert (np.diff(mu) >= 0).all()
+        assert mu.min() >= 0 and mu.max() <= np.pi
+
+    def test_default_n_filters_25(self):
+        got = filters.GaborParams(n_filters=25, min_freq=60.0, max_freq=7800.0).gabor_params_from_mels()
+        ref = oracle.gabor_params_from_mels(n_filters=25)
+        np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+class TestGaborImpulseResponse:
+    def test_matches_oracle(self):
+        params = oracle.gabor_params_from_mels().astype(np.float32)
+        got = impulse_responses.gabor_filters(jnp.asarray(params), size=401)
+        ref = oracle.gabor_bank(params, size=401)
+        assert got.shape == (40, 401)
+        np.testing.assert_allclose(np.asarray(got), ref, atol=1e-6)
+
+    def test_real_imag_split_consistent(self):
+        params = jnp.asarray(oracle.gabor_params_from_mels().astype(np.float32))
+        cplx = impulse_responses.gabor_filters(params, size=401)
+        re, im = impulse_responses.gabor_filters_real_imag(params, size=401)
+        np.testing.assert_allclose(np.asarray(cplx.real), np.asarray(re), atol=1e-6)
+        np.testing.assert_allclose(np.asarray(cplx.imag), np.asarray(im), atol=1e-6)
+
+    def test_even_size_support(self):
+        params = jnp.asarray([[1.0, 20.0]], dtype=jnp.float32)
+        got = impulse_responses.gabor_filters(params, size=400)
+        assert got.shape == (1, 400)
+
+
+class TestGaborConstraint:
+    def test_matches_oracle(self):
+        rng = np.random.RandomState(0)
+        raw = rng.randn(16, 2).astype(np.float32) * 100
+        got = gabor_constraint(jnp.asarray(raw), 401)
+        ref = oracle.constrain(raw.astype(np.float64), 401)
+        np.testing.assert_allclose(np.asarray(got), ref, rtol=1e-5)
+
+    def test_bounds(self):
+        raw = jnp.asarray([[-5.0, 0.0], [10.0, 1e6]], dtype=jnp.float32)
+        out = np.asarray(gabor_constraint(raw, 401))
+        assert out[0, 0] == 0.0
+        np.testing.assert_allclose(out[1, 0], np.pi, rtol=1e-6)
+        c = np.sqrt(2 * np.log(2.0))
+        np.testing.assert_allclose(out[0, 1], 4 * c / np.pi, rtol=1e-5)
+        np.testing.assert_allclose(out[1, 1], 401 * c / np.pi, rtol=1e-5)
+
+
+class TestGaussianLowpassWindow:
+    def test_matches_oracle_formula(self):
+        sigma = np.asarray([0.1, 0.4, 0.9], dtype=np.float32)  # 0.9 clamps to 0.5
+        win = np.asarray(impulse_responses.gaussian_lowpass(jnp.asarray(sigma), 401))
+        t = np.arange(401, dtype=np.float64)
+        sig = np.clip(sigma.astype(np.float64), 2.0 / 401, 0.5)
+        for i in range(3):
+            ref = np.exp(-0.5 * ((t - 200.0) / (sig[i] * 200.0)) ** 2)
+            np.testing.assert_allclose(win[i], ref, atol=1e-6)
+
+    def test_peak_at_center(self):
+        win = np.asarray(impulse_responses.gaussian_lowpass(jnp.full((4,), 0.4), 401))
+        assert (win.argmax(axis=1) == 200).all()
+        np.testing.assert_allclose(win[:, 200], 1.0)
+
+
+class TestEmaScan:
+    def test_matches_sequential(self):
+        rng = np.random.RandomState(1)
+        x = rng.rand(3, 57, 5).astype(np.float32)
+        w = rng.rand(5).astype(np.float32)
+        got = np.asarray(ema_scan(jnp.asarray(x), jnp.asarray(w)))
+        ref = np.zeros_like(x)
+        ref[:, 0] = x[:, 0]
+        for t in range(1, x.shape[1]):
+            ref[:, t] = w * x[:, t] + (1 - w) * ref[:, t - 1]
+        np.testing.assert_allclose(got, ref, rtol=2e-5, atol=1e-6)
+
+    def test_first_frame_identity(self):
+        x = jnp.ones((2, 10, 4)) * 7.0
+        got = np.asarray(ema_scan(x, jnp.full((4,), 0.04)))
+        np.testing.assert_allclose(got, 7.0, rtol=1e-6)
+
+    def test_jit_and_grad(self):
+        x = jnp.ones((1, 8, 2))
+        w = jnp.full((2,), 0.5)
+        fn = jax.jit(lambda x, w: ema_scan(x, w).sum())
+        g = jax.grad(fn)(x, w)
+        assert g.shape == x.shape
+        assert np.isfinite(np.asarray(g)).all()
