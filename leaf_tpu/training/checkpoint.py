@@ -1,0 +1,154 @@
+"""Orbax checkpointing of the train state + JSON metadata.
+
+Capability parity with the reference's checkpoint/resume story
+(reference: train_xla.py:36-52 save, 109-114 load; hparams.pickle 227-230;
+best-checkpoint selection by parsing val_acc from filenames, test.py:41-45).
+TPU-native differences: one orbax directory per epoch holding the full
+TrainState PyTree (params, batch_stats, optimizer state, step) plus a
+``meta.json`` with {epoch, tr_loss, tr_acc, val_acc} — metrics live in JSON,
+not in filenames; hyperparams persist as ``hparams.json`` (the YAML config),
+not a pickle.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import orbax.checkpoint as ocp
+
+__all__ = ["save_checkpoint", "load_checkpoint", "best_checkpoint",
+           "save_hparams", "load_hparams", "load_pretrained_frontend",
+           "load_pretrained_backbone"]
+
+_CKPT_RE = re.compile(r"^epoch_(\d+)$")
+
+
+def _ckpt_dir(exp_dir: str, epoch: int) -> str:
+    return os.path.join(os.path.abspath(exp_dir), f"epoch_{epoch:03d}")
+
+
+def save_checkpoint(exp_dir: str, state, epoch: int,
+                    tr_loss: float, tr_acc: float, val_acc: float,
+                    scheduler_state: Optional[dict] = None) -> str:
+    """Write state + metrics for one epoch. Only process 0 writes metadata
+    (orbax handles multi-host array gathering itself)."""
+    path = _ckpt_dir(exp_dir, epoch)
+    ckptr = ocp.StandardCheckpointer()
+    target = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    ckptr.save(os.path.join(path, "state"), target, force=True)
+    ckptr.wait_until_finished()
+    if jax.process_index() == 0:
+        meta = {"epoch": epoch, "tr_loss": float(tr_loss),
+                "tr_acc": float(tr_acc), "val_acc": float(val_acc)}
+        if scheduler_state is not None:
+            meta["scheduler"] = scheduler_state
+        with open(os.path.join(path, "meta.json"), "w") as f:
+            json.dump(meta, f)
+    return path
+
+
+def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:
+    """Restore a TrainState (template = ``state``) + its metadata."""
+    ckptr = ocp.StandardCheckpointer()
+    template = {
+        "step": state.step,
+        "params": state.params,
+        "batch_stats": state.batch_stats,
+        "opt_state": state.opt_state,
+    }
+    restored = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
+                             template)
+    new_state = state.replace(
+        step=restored["step"],
+        params=restored["params"],
+        batch_stats=restored["batch_stats"],
+        opt_state=restored["opt_state"],
+    )
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return new_state, meta
+
+
+def best_checkpoint(exp_dir: str, key: str = "val_acc") -> Optional[str]:
+    """Pick the checkpoint with the best metric — the reference parses
+    val_acc out of filenames (test.py:41-45); here it's read from meta.json."""
+    best_path, best_val = None, float("-inf")
+    if not os.path.isdir(exp_dir):
+        return None
+    for name in sorted(os.listdir(exp_dir)):
+        if not _CKPT_RE.match(name.replace("epoch_", "epoch_")) and \
+           not name.startswith("epoch_"):
+            continue
+        meta_path = os.path.join(exp_dir, name, "meta.json")
+        if not os.path.exists(meta_path):
+            continue
+        with open(meta_path) as f:
+            meta = json.load(f)
+        if meta.get(key, float("-inf")) > best_val:
+            best_val = meta[key]
+            best_path = os.path.join(exp_dir, name)
+    return best_path
+
+
+def save_hparams(exp_dir: str, cfg: dict) -> None:
+    """hparams.json ≙ the reference's hparams.pickle (train_xla.py:227-230)."""
+    if jax.process_index() == 0:
+        os.makedirs(exp_dir, exist_ok=True)
+        with open(os.path.join(exp_dir, "hparams.json"), "w") as f:
+            json.dump(cfg, f, indent=2)
+
+
+def load_hparams(exp_dir: str) -> dict:
+    with open(os.path.join(exp_dir, "hparams.json")) as f:
+        return json.load(f)
+
+
+def load_pretrained_frontend(path: str, params):
+    """Swap in pretrained LEAF frontend params (reference README.md:94-114:
+    extract ``model.features``; here the frontend subtree is
+    ``params['features']``)."""
+    restored, _ = _restore_raw(path)
+    new = dict(params)
+    new["features"] = restored["params"]["features"]
+    return type(params)(new) if not isinstance(params, dict) else new
+
+
+def load_pretrained_backbone(path: str, params, keep_head: bool = True):
+    """Load a pretrained classifier's backbone, keeping the fresh output head
+    — the functional analogue of the reference's fc-swap surgery
+    (model_helper.py:78-94)."""
+    restored, _ = _restore_raw(path)
+    pre = dict(restored["params"]["model"])
+    cur = dict(params["model"])
+    head_keys = {"fc", "classifier", "linear"}
+    for k in pre:
+        if keep_head and k in head_keys:
+            continue
+        if k in cur:
+            cur[k] = pre[k]
+    new = dict(params)
+    new["model"] = cur
+    return new
+
+
+def _restore_raw(path: str):
+    ckptr = ocp.StandardCheckpointer()
+    restored = ckptr.restore(os.path.join(os.path.abspath(path), "state"))
+    meta_path = os.path.join(path, "meta.json")
+    meta = {}
+    if os.path.exists(meta_path):
+        with open(meta_path) as f:
+            meta = json.load(f)
+    return restored, meta

@@ -1,0 +1,52 @@
+"""Train state PyTree: params + batch_stats + optax state + step counter.
+
+The reference keeps this implicitly in torch Module/optimizer objects and a
+checkpoint dict {model, optimizer, scheduler state_dicts, epoch, metrics}
+(reference: train_xla.py:36-52). Here it's one functional PyTree that jits,
+shards, and checkpoints (orbax) as a unit.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable
+
+import jax
+import optax
+from flax import core, struct
+
+__all__ = ["TrainState"]
+
+
+class TrainState(struct.PyTreeNode):
+    step: jax.Array
+    params: core.FrozenDict
+    batch_stats: core.FrozenDict
+    opt_state: optax.OptState
+    apply_fn: Callable = struct.field(pytree_node=False)
+    tx: optax.GradientTransformation = struct.field(pytree_node=False)
+
+    def apply_gradients(self, *, grads, batch_stats=None, **kwargs):
+        updates, new_opt_state = self.tx.update(
+            grads, self.opt_state, self.params)
+        new_params = optax.apply_updates(self.params, updates)
+        return self.replace(
+            step=self.step + 1,
+            params=new_params,
+            batch_stats=batch_stats if batch_stats is not None
+            else self.batch_stats,
+            opt_state=new_opt_state,
+            **kwargs,
+        )
+
+    @classmethod
+    def create(cls, *, apply_fn, params, batch_stats, tx, **kwargs):
+        import jax.numpy as jnp
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=tx.init(params),
+            apply_fn=apply_fn,
+            tx=tx,
+            **kwargs,
+        )

@@ -1,0 +1,160 @@
+"""Jitted train / eval steps, losses, and on-device mixup.
+
+Replaces the reference's per-step Python loop body (reference:
+train_xla.py:259-294): forward → loss → backward → xm.optimizer_step →
+loss.item(). TPU-first differences:
+
+- the whole step (mixup, forward, loss, grads, optimizer, metrics) is ONE
+  jitted SPMD program; gradient all-reduce is inserted by XLA from the
+  shardings instead of ``xm.optimizer_step``;
+- per-step metrics stay on device — no ``loss.item()`` sync per step
+  (reference: train_xla.py:291); hosts read them once per epoch;
+- mixup runs on device with a proper per-step PRNG key — the reference's
+  fixed ``random_seed=1233`` draws the same lambda every call
+  (reference: utilities/data/mixup.py:15-17), a quirk knowingly fixed;
+- losses: softmax CE (torch CrossEntropyLoss) for multiclass, sigmoid BCE
+  (torch BCEWithLogitsLoss) for multilabel (reference: train_xla.py:233-235).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from leaf_tpu.training.state import TrainState
+
+__all__ = ["cross_entropy_loss", "bce_logits_loss", "mixup",
+           "make_train_step", "make_eval_step"]
+
+
+def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    """Mean softmax cross-entropy with integer labels (CrossEntropyLoss)."""
+    return optax.softmax_cross_entropy_with_integer_labels(
+        logits, labels).mean()
+
+
+def bce_logits_loss(logits: jnp.ndarray, targets: jnp.ndarray) -> jnp.ndarray:
+    """Mean sigmoid BCE over all elements (BCEWithLogitsLoss)."""
+    return optax.sigmoid_binary_cross_entropy(logits, targets).mean()
+
+
+def mixup(rng: jax.Array, inputs: jnp.ndarray, targets: jnp.ndarray,
+          alpha: float = 1.0, mode: str = "multilabel"):
+    """On-device mixup (reference: utilities/data/mixup.py:5-27).
+
+    multilabel → (mixed_x, mixed_y); multiclass → (mixed_x, y_a, y_b, lam).
+    Per-sample Beta(α, α) lambda, fresh every call.
+    """
+    bsize = inputs.shape[0]
+    k_lam, k_perm = jax.random.split(rng)
+    lam = jax.random.beta(k_lam, alpha, alpha, (bsize,)).astype(inputs.dtype)
+    perm = jax.random.permutation(k_perm, bsize)
+    lam_x = lam.reshape((bsize,) + (1,) * (inputs.ndim - 1))
+    mixed_x = inputs * lam_x + inputs[perm] * (1.0 - lam_x)
+    if mode == "multilabel":
+        lam_y = lam.reshape(bsize, 1)
+        mixed_y = targets * lam_y + targets[perm] * (1.0 - lam_y)
+        return mixed_x, mixed_y, None, None
+    return mixed_x, targets, targets[perm], lam
+
+
+def _topk_correct(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
+    return jnp.sum(jnp.argmax(logits, axis=-1) == labels)
+
+
+def make_train_step(
+    model_type: str = "multiclass",
+    mixup_alpha: Optional[float] = None,
+    donate: bool = True,
+) -> Callable:
+    """Build the jitted train step: (state, x, y, rng) → (state, metrics).
+
+    metrics = {'loss', 'correct', 'count'} as device scalars — accumulate on
+    host once per epoch (train accuracy is meaningless under multilabel/mixup
+    and reported as 0, mirroring the reference's multiclass-only tracker,
+    train_xla.py:268-278).
+    """
+    multilabel = model_type == "multilabel"
+    loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
+
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray,
+             rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        step_rng = jax.random.fold_in(rng, state.step)
+        rng_mix, rng_drop = jax.random.split(step_rng)
+
+        def loss_fn(params):
+            xx, yy = x, y
+            if mixup_alpha is not None and multilabel:
+                xx, yy, _, _ = mixup(rng_mix, x, y, mixup_alpha, "multilabel")
+                logits, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    xx, train=True, rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+                loss = loss_fn_inner(logits, yy)
+            elif mixup_alpha is not None:
+                xx, y_a, y_b, lam = mixup(rng_mix, x, y, mixup_alpha,
+                                          "multiclass")
+                logits, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    xx, train=True, rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+                per = optax.softmax_cross_entropy_with_integer_labels
+                loss = jnp.mean(per(logits, y_a) * lam
+                                + per(logits, y_b) * (1.0 - lam))
+            else:
+                logits, mutated = state.apply_fn(
+                    {"params": params, "batch_stats": state.batch_stats},
+                    xx, train=True, rngs={"dropout": rng_drop},
+                    mutable=["batch_stats"])
+                loss = loss_fn_inner(logits, yy)
+            return loss, (logits, mutated["batch_stats"])
+
+        (loss, (logits, new_stats)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True)(state.params)
+        new_state = state.apply_gradients(grads=grads, batch_stats=new_stats)
+        if multilabel:
+            correct = jnp.zeros((), jnp.int32)
+        else:
+            correct = _topk_correct(logits, y).astype(jnp.int32)
+        metrics = {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.asarray(x.shape[0], jnp.int32),
+        }
+        return new_state, metrics
+
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(model_type: str = "multiclass") -> Callable:
+    """Jitted eval step: (state, x, y) → metrics + raw outputs.
+
+    Multilabel returns sigmoid probabilities for host-side mAP/AUC
+    (reference: test.py:145-155); multiclass returns logits.
+    """
+    multilabel = model_type == "multilabel"
+    loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
+
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        logits = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=False)
+        loss = loss_fn_inner(logits, y)
+        if multilabel:
+            outputs = jax.nn.sigmoid(logits)
+            correct = jnp.zeros((), jnp.int32)
+        else:
+            outputs = logits
+            correct = _topk_correct(logits, y).astype(jnp.int32)
+        return {
+            "loss": loss,
+            "correct": correct,
+            "count": jnp.asarray(x.shape[0], jnp.int32),
+            "outputs": outputs,
+        }
+
+    return jax.jit(step)

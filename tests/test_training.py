@@ -1,0 +1,327 @@
+"""Training-stack tests: config schema, schedules, plateau controller,
+torch-parity of optimizer semantics, jitted train/eval steps end-to-end,
+metrics vs sklearn direct computation."""
+
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from leaf_tpu.training import (
+    ReduceLROnPlateau,
+    TrainState,
+    get_config,
+    make_eval_step,
+    make_train_step,
+    mixup,
+    optimization_helper,
+)
+from leaf_tpu.training.optim import step_schedule, warmup_cosine_schedule
+from leaf_tpu.training import metrics as M
+
+
+CFG_YAML = """
+frontend:
+    name: leaf
+    default_args: True
+model:
+    arch: efficientnet
+    num_classes: 35
+    model_depth: b0
+    pool: avgpool
+    type: multiclass
+opt:
+    optimizer: Adam
+    lr: 1e-3
+    momentum: 0.9
+    scheduler: warmupcosine
+    warmup_epochs: 10
+    weight_decay: 1e-4
+    batch_size: 256
+audio_config:
+    feature: raw
+    normalize: False
+    sample_rate: 16000
+    min_duration: 1
+    random_clip_size: 1
+    val_clip_size: 1
+    mixup: False
+data:
+    meta_root: "{root}"
+    is_lmdb: False
+    train_manifest: "train.csv"
+    val_manifest: "val.csv"
+    test_manifest: None
+    label_map: lbl_map.json
+"""
+
+
+class TestConfig:
+    def test_flagship_cfg_roundtrip(self, tmp_path):
+        cfg_file = tmp_path / "exp.cfg"
+        cfg_file.write_text(CFG_YAML.format(root=str(tmp_path)))
+        cfg = get_config(str(cfg_file))
+        # compulsory values survive
+        assert cfg["model"]["arch"] == "efficientnet"
+        assert cfg["opt"]["batch_size"] == 256
+        # optional defaults injected (reference config_parser.py:64-84)
+        assert cfg["opt"]["gamma"] == 0.1
+        assert cfg["opt"]["agc_clip_factor"] == 0.01
+        assert cfg["audio_config"]["mixup"] is False
+        # data paths resolved against meta_root
+        assert cfg["data"]["train"] == str(tmp_path / "train.csv")
+        assert cfg["data"]["labels"] == str(tmp_path / "lbl_map.json")
+        # 'None' test manifest dropped
+        assert "test" not in cfg["data"]
+
+    def test_missing_section_raises(self, tmp_path):
+        cfg_file = tmp_path / "bad.cfg"
+        cfg_file.write_text("frontend:\n    name: leaf\n")
+        with pytest.raises(KeyError):
+            get_config(str(cfg_file))
+
+
+class TestSchedules:
+    def test_warmup_cosine_matches_hf_formula(self):
+        lr, warm, total = 1e-3, 100, 1000
+        sched = warmup_cosine_schedule(lr, warm, total)
+        # linear warmup
+        assert float(sched(0)) == 0.0
+        np.testing.assert_allclose(float(sched(50)), lr * 0.5, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(100)), lr, rtol=1e-6)
+        # cosine half-way: progress=(550-100)/900=0.5 → 0.5·lr
+        np.testing.assert_allclose(float(sched(550)), lr * 0.5, rtol=1e-5)
+        np.testing.assert_allclose(float(sched(1000)), 0.0, atol=1e-9)
+
+    def test_step_schedule(self):
+        sched = step_schedule(1e-2, step_size_epochs=30, gamma=0.1,
+                              steps_per_epoch=10)
+        np.testing.assert_allclose(float(sched(0)), 1e-2, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(299)), 1e-2, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(300)), 1e-3, rtol=1e-6)
+        np.testing.assert_allclose(float(sched(600)), 1e-4, rtol=1e-6)
+
+    def test_plateau_reduces_after_patience(self):
+        ctl = ReduceLROnPlateau(base_lr=1.0, factor=0.1, patience=2)
+        assert ctl.step(0.5) == 1.0  # new best
+        assert ctl.step(0.5) == 1.0  # bad 1
+        assert ctl.step(0.5) == 1.0  # bad 2
+        assert ctl.step(0.5) == pytest.approx(0.1)  # bad 3 > patience
+        # state dict round trip
+        state = ctl.state_dict()
+        ctl2 = ReduceLROnPlateau(base_lr=1.0)
+        ctl2.load_state_dict(state)
+        assert ctl2.lr == pytest.approx(0.1)
+
+    def test_plateau_min_lr(self):
+        ctl = ReduceLROnPlateau(base_lr=1e-5, factor=0.1, patience=0)
+        ctl.step(1.0)
+        for _ in range(5):
+            ctl.step(0.0)
+        assert ctl.lr == pytest.approx(1e-6)
+
+
+class TestOptimizerParity:
+    """Our optax chains must match torch optimizer semantics step-for-step."""
+
+    def _torch_reference(self, opt_name, lr, wd, steps, grads_np, w0):
+        import torch
+        w = torch.nn.Parameter(torch.tensor(w0, dtype=torch.float64))
+        if opt_name == "Adam":
+            opt = torch.optim.Adam([w], lr=lr, weight_decay=wd)
+        else:
+            opt = torch.optim.SGD([w], lr=lr, weight_decay=wd,
+                                  momentum=0.9, nesterov=True)
+        out = []
+        for g in grads_np:
+            opt.zero_grad()
+            w.grad = torch.tensor(g, dtype=torch.float64)
+            opt.step()
+            out.append(w.detach().numpy().copy())
+        return np.array(out)
+
+    @pytest.mark.parametrize("opt_name", ["Adam", "SGD"])
+    def test_matches_torch(self, opt_name):
+        rng = np.random.RandomState(0)
+        w0 = rng.randn(5)
+        grads_np = rng.randn(8, 5)
+        lr, wd = 1e-2, 1e-4
+        torch_traj = self._torch_reference(opt_name, lr, wd, 8, grads_np, w0)
+
+        cfg = {"opt": {"optimizer": opt_name, "lr": lr, "weight_decay": wd,
+                       "momentum": 0.9, "nesterov": True,
+                       "scheduler": "step", "step_size": 1000, "gamma": 0.1}}
+        tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=1)
+        params = jnp.asarray(w0)
+        opt_state = tx.init(params)
+        ours = []
+        for g in grads_np:
+            updates, opt_state = tx.update(jnp.asarray(g), opt_state, params)
+            params = params + updates
+            ours.append(np.asarray(params))
+        # float32 on our side vs float64 torch — tolerances accordingly
+        np.testing.assert_allclose(np.array(ours), torch_traj,
+                                   rtol=2e-4, atol=2e-6)
+
+    def test_reduce_scheduler_injects_lr(self):
+        cfg = {"opt": {"optimizer": "SGD", "lr": 0.1, "momentum": 0.0,
+                       "nesterov": False, "scheduler": "reduce",
+                       "weight_decay": 0.0, "gamma": 0.5, "patience": 0}}
+        tx, ctl, name = optimization_helper(cfg)
+        assert name == "reduce" and ctl is not None
+        params = jnp.ones(3)
+        opt_state = tx.init(params)
+        g = jnp.ones(3)
+        updates, opt_state = tx.update(g, opt_state, params)
+        np.testing.assert_allclose(np.asarray(updates), -0.1, rtol=1e-6)
+        # plateau → halve lr, inject, next update uses it
+        ctl.step(1.0)
+        new_lr = ctl.step(0.0)
+        opt_state.hyperparams["learning_rate"] = jnp.asarray(new_lr)
+        updates, opt_state = tx.update(g, opt_state, params)
+        np.testing.assert_allclose(np.asarray(updates), -0.05, rtol=1e-6)
+
+
+def _tiny_classifier_state(model_type="multiclass", num_classes=5,
+                           scheduler="warmupcosine"):
+    from leaf_tpu.models import Classifier
+    cfg = {
+        "frontend": {"name": "leaf", "default_args": True},
+        "audio_config": {"sample_rate": 16000},
+        "model": {"arch": "cifar_resnet", "model_depth": 20,
+                  "num_classes": num_classes, "type": model_type},
+        "opt": {"optimizer": "Adam", "lr": 1e-3, "weight_decay": 1e-4,
+                "scheduler": scheduler, "warmup_epochs": 1,
+                "batch_size": 4},
+    }
+    model = Classifier(cfg=cfg)
+    x = jnp.zeros((4, 16000), jnp.float32)
+    variables = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+    tx, ctl, _ = optimization_helper(
+        cfg, num_tr_steps_per_epoch=2, num_epochs=2)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx)
+    return state, cfg
+
+
+class TestSteps:
+    def test_train_step_multiclass_learns(self):
+        state, _ = _tiny_classifier_state()
+        step = make_train_step("multiclass")
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.array([0, 1, 2, 3])
+        rng = jax.random.PRNGKey(7)
+        losses = []
+        for i in range(4):
+            state, metrics = step(state, x, y, rng)
+            losses.append(float(metrics["loss"]))
+        assert int(state.step) == 4
+        assert losses[-1] < losses[0], losses  # memorizing 4 samples
+        assert np.isfinite(losses).all()
+
+    def test_train_step_multilabel_with_mixup(self):
+        state, _ = _tiny_classifier_state("multilabel")
+        step = make_train_step("multilabel", mixup_alpha=1.0)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = (jax.random.uniform(jax.random.PRNGKey(2), (4, 5)) > 0.5
+             ).astype(jnp.float32)
+        state, metrics = step(state, x, y, jax.random.PRNGKey(3))
+        assert np.isfinite(float(metrics["loss"]))
+        assert int(metrics["correct"]) == 0  # undefined for multilabel
+
+    def test_eval_step_multilabel_sigmoid_range(self):
+        state, _ = _tiny_classifier_state("multilabel")
+        estep = make_eval_step("multilabel")
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.zeros((4, 5), jnp.float32)
+        m = estep(state, x, y)
+        out = np.asarray(m["outputs"])
+        assert out.shape == (4, 5) and (out >= 0).all() and (out <= 1).all()
+
+    def test_mixup_fresh_lambda_per_call(self):
+        # The reference's fixed seed gives identical lam each call
+        # (mixup.py:15-17) — we must NOT replicate that.
+        x = jnp.ones((8, 100, 1))
+        y = jnp.ones((8, 3))
+        _, _, _, lam1 = mixup(jax.random.PRNGKey(0), x, y, 1.0, "multiclass")
+        _, _, _, lam2 = mixup(jax.random.PRNGKey(1), x, y, 1.0, "multiclass")
+        assert not np.allclose(np.asarray(lam1), np.asarray(lam2))
+
+    def test_mixup_multilabel_convexity(self):
+        x = jax.random.normal(jax.random.PRNGKey(0), (8, 50, 1))
+        y = (jax.random.uniform(jax.random.PRNGKey(1), (8, 3)) > 0.5
+             ).astype(jnp.float32)
+        mx, my, _, _ = mixup(jax.random.PRNGKey(2), x, y, 1.0, "multilabel")
+        assert mx.shape == x.shape and my.shape == y.shape
+        assert float(my.min()) >= 0.0 and float(my.max()) <= 1.0
+
+
+class TestMetrics:
+    def test_accuracy_topk(self):
+        logits = np.array([[0.1, 0.9, 0.0, 0.0, 0.0],
+                           [0.9, 0.1, 0.0, 0.0, 0.0],
+                           [0.0, 0.0, 0.8, 0.1, 0.1],
+                           [0.3, 0.2, 0.1, 0.25, 0.15]])
+        target = np.array([1, 0, 2, 3])
+        (top1, top5), _ = M.accuracy(logits, target, topk=(1, 5))
+        assert top1 == pytest.approx(75.0)
+        assert top5 == pytest.approx(100.0)
+
+    def test_d_prime(self):
+        assert M.d_prime(0.5) == pytest.approx(0.0, abs=1e-9)
+        assert M.d_prime(0.9) == pytest.approx(1.812387, rel=1e-4)
+
+    def test_map_binarizes_mixup_targets(self):
+        rng = np.random.RandomState(0)
+        preds = [rng.rand(16, 4)]
+        soft = [np.clip(rng.rand(16, 4), 0, 1)]
+        hard = [(soft[0] >= 0.5).astype(np.float64)]
+        assert M.calculate_mAP(preds, soft, mixup=True) == pytest.approx(
+            M.calculate_mAP(preds, hard, mixup=False))
+
+    def test_calculate_stats_keys(self):
+        rng = np.random.RandomState(0)
+        out = rng.rand(64, 3)
+        tgt = (rng.rand(64, 3) > 0.5).astype(int)
+        stats = M.calculate_stats(out, tgt)
+        assert len(stats) == 3
+        assert set(stats[0]) == {"precisions", "recalls", "AP", "fpr",
+                                 "fnr", "auc"}
+
+    def test_mean_confidence_interval(self):
+        m, h = M.mean_confidence_interval([94.2, 94.5, 94.8, 94.4, 94.6])
+        assert m == pytest.approx(94.5)
+        assert 0 < h < 1
+
+
+class TestCheckpoint:
+    def test_save_load_roundtrip(self, tmp_path):
+        from leaf_tpu.training.checkpoint import (
+            best_checkpoint, load_checkpoint, save_checkpoint,
+            save_hparams, load_hparams)
+        state, cfg = _tiny_classifier_state()
+        step = make_train_step("multiclass")
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.array([0, 1, 2, 3])
+        state, _ = step(state, x, y, jax.random.PRNGKey(0))
+
+        save_checkpoint(str(tmp_path), state, 0, 1.0, 0.5, 0.60)
+        save_checkpoint(str(tmp_path), state, 1, 0.9, 0.6, 0.75)
+        save_hparams(str(tmp_path), {"model": {"arch": "cifar_resnet"}})
+
+        best = best_checkpoint(str(tmp_path))
+        assert best.endswith("epoch_001")
+
+        fresh, _ = _tiny_classifier_state()
+        restored, meta = load_checkpoint(best, fresh)
+        assert meta["val_acc"] == 0.75
+        assert int(restored.step) == 1
+        np.testing.assert_allclose(
+            np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
+            np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
+        assert load_hparams(str(tmp_path))["model"]["arch"] == "cifar_resnet"
