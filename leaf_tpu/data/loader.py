@@ -1,0 +1,206 @@
+"""Batch loader: sharded sampling, fixed-shape collate, threaded prefetch.
+
+Replaces the reference's torch DataLoader + DistributedSampler +
+MpDeviceLoader plumbing (reference: utilities/training_utils.py:6-36,
+train_xla.py:192-196) with a framework-free pipeline:
+
+- ``DistributedSampler``-equivalent index sharding per JAX process
+  (epoch-seeded shuffle, padding to a multiple of world size — same
+  semantics as torch's DistributedSampler);
+- collate pads every batch to ONE static length so the jitted train step
+  never retraces (the reference pads to the per-batch max, utils.py:8-53,
+  which would retrace under jit — train clips are fixed-size after
+  transforms anyway). The dummy complex tensor the reference allocates per
+  batch (utils.py:18) is a torch-xla workaround and is dropped;
+- a daemon-thread prefetcher keeps ``prefetch`` batches ready while the
+  device computes, the host-side analogue of MpDeviceLoader's async feed.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Callable, Iterator, Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["ShardedSampler", "collate_fixed", "DataLoader",
+           "setup_dataloaders"]
+
+
+class ShardedSampler:
+    """Epoch-seeded shuffled index shards (torch DistributedSampler
+    semantics: pad indices to world_size multiple, stride by rank)."""
+
+    def __init__(self, dataset_len: int, num_replicas: int = 1, rank: int = 0,
+                 shuffle: bool = True, seed: int = 0,
+                 drop_last: bool = False):
+        self.dataset_len = dataset_len
+        self.num_replicas = num_replicas
+        self.rank = rank
+        self.shuffle = shuffle
+        self.seed = seed
+        self.drop_last = drop_last
+        self.epoch = 0
+        if drop_last:
+            self.num_samples = dataset_len // num_replicas
+        else:
+            self.num_samples = -(-dataset_len // num_replicas)
+
+    def set_epoch(self, epoch: int) -> None:
+        self.epoch = epoch
+
+    def __iter__(self) -> Iterator[int]:
+        if self.shuffle:
+            rng = np.random.RandomState(self.seed + self.epoch)
+            indices = rng.permutation(self.dataset_len)
+        else:
+            indices = np.arange(self.dataset_len)
+        total = self.num_samples * self.num_replicas
+        if not self.drop_last and total > len(indices):
+            indices = np.concatenate(
+                [indices, indices[:total - len(indices)]])
+        else:
+            indices = indices[:total]
+        return iter(indices[self.rank::self.num_replicas].tolist())
+
+    def __len__(self) -> int:
+        return self.num_samples
+
+
+def collate_fixed(batch, target_len: Optional[int] = None,
+                  multiclass: bool = True):
+    """Stack (wave, label) pairs into (B, T) float32 + labels, zero-padding
+    (or cropping) every wave to ``target_len`` (default: batch max)."""
+    waves = [np.asarray(w, dtype=np.float32).reshape(-1) for w, _ in batch]
+    labels = [lbl for _, lbl in batch]
+    t = target_len or max(len(w) for w in waves)
+    out = np.zeros((len(waves), t), dtype=np.float32)
+    for i, w in enumerate(waves):
+        n = min(len(w), t)
+        out[i, :n] = w[:n]
+    if multiclass:
+        y = np.asarray(labels, dtype=np.int32)
+    else:
+        y = np.stack([np.asarray(l, dtype=np.float32) for l in labels])
+    return out, y
+
+
+class DataLoader:
+    """Minimal map-style loader: sampler → worker threads → prefetch queue.
+
+    Threads (not processes) because the work is numpy + libsndfile, which
+    release the GIL; this avoids fork-related JAX/TPU-runtime hazards.
+    """
+
+    def __init__(self, dataset, batch_size: int,
+                 sampler: Optional[ShardedSampler] = None,
+                 shuffle: bool = True,
+                 collate_fn: Optional[Callable] = None,
+                 target_len: Optional[int] = None,
+                 multiclass: bool = True,
+                 num_workers: int = 4,
+                 drop_last: bool = False,
+                 prefetch: int = 4,
+                 seed: int = 0):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.sampler = sampler or ShardedSampler(
+            len(dataset), shuffle=shuffle, seed=seed)
+        self.collate_fn = collate_fn or (
+            lambda b: collate_fixed(b, target_len, multiclass))
+        self.num_workers = max(1, num_workers)
+        self.drop_last = drop_last
+        self.prefetch = prefetch
+        self._epoch = 0
+
+    def set_epoch(self, epoch: int) -> None:
+        self._epoch = epoch
+        self.sampler.set_epoch(epoch)
+
+    def __len__(self) -> int:
+        n = len(self.sampler)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def _batches_of_indices(self):
+        idxs = list(self.sampler)
+        for i in range(0, len(idxs), self.batch_size):
+            chunk = idxs[i:i + self.batch_size]
+            if self.drop_last and len(chunk) < self.batch_size:
+                return
+            yield chunk
+
+    def __iter__(self):
+        batch_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
+        index_batches = list(self._batches_of_indices())
+        n_batches = len(index_batches)
+        work_q: "queue.Queue" = queue.Queue()
+        # Sequence numbers keep batch order deterministic across workers.
+        for seq, chunk in enumerate(index_batches):
+            work_q.put((seq, chunk))
+        results = {}
+        results_lock = threading.Lock()
+        next_seq = [0]
+        done = threading.Event()
+
+        def worker():
+            while not done.is_set():
+                try:
+                    seq, chunk = work_q.get_nowait()
+                except queue.Empty:
+                    return
+                items = [self.dataset[i] for i in chunk]
+                batch = self.collate_fn(items)
+                with results_lock:
+                    results[seq] = batch
+
+        threads = [threading.Thread(target=worker, daemon=True)
+                   for _ in range(self.num_workers)]
+        for t in threads:
+            t.start()
+
+        try:
+            delivered = 0
+            import time
+            while delivered < n_batches:
+                with results_lock:
+                    batch = results.pop(next_seq[0], None)
+                if batch is None:
+                    time.sleep(0.001)
+                    continue
+                next_seq[0] += 1
+                delivered += 1
+                yield batch
+        finally:
+            done.set()
+
+
+def setup_dataloaders(train_set, val_set, batch_size: int,
+                      device_world_size: int = 1, local_rank: int = 0,
+                      target_len: Optional[int] = None,
+                      val_target_len: Optional[int] = None,
+                      multiclass: bool = True,
+                      num_workers: int = 4,
+                      multi_device_val: bool = False,
+                      need_val: bool = True,
+                      seed: int = 0) -> Tuple[DataLoader, Optional[DataLoader]]:
+    """Reference training_utils.py:6-36 equivalent: shard train across
+    processes; shard val only if multi_device_val."""
+    train_sampler = ShardedSampler(len(train_set), device_world_size,
+                                   local_rank, shuffle=True, seed=seed)
+    train_loader = DataLoader(train_set, batch_size, sampler=train_sampler,
+                              target_len=target_len, multiclass=multiclass,
+                              num_workers=num_workers, drop_last=True)
+    val_loader = None
+    if need_val and val_set is not None:
+        if multi_device_val:
+            val_sampler = ShardedSampler(len(val_set), device_world_size,
+                                         local_rank, shuffle=False)
+        else:
+            val_sampler = ShardedSampler(len(val_set), shuffle=False)
+        val_loader = DataLoader(val_set, batch_size, sampler=val_sampler,
+                                target_len=val_target_len or target_len,
+                                multiclass=multiclass,
+                                num_workers=num_workers)
+    return train_loader, val_loader

@@ -1,0 +1,299 @@
+"""Data-pipeline tests: audio IO round-trips, transforms semantics,
+datasets (manifest + packed), sampler sharding, loader determinism."""
+
+import json
+import os
+import random
+
+import numpy as np
+import pytest
+
+from leaf_tpu.data import (
+    DataLoader,
+    PackedDataset,
+    RawWaveformDataset,
+    ShardedSampler,
+    collate_fixed,
+    deflate_packed_batch,
+    leaf_supervised_transforms,
+    load_audio,
+    load_audio_bytes,
+    normalize_waveform,
+    parse_labels,
+    setup_dataloaders,
+)
+from leaf_tpu.data import transforms as T
+from leaf_tpu.data.audio import write_wav
+
+SR = 16000
+
+
+@pytest.fixture
+def wav_dir(tmp_path):
+    """Synthetic mini-dataset: 12 tone WAVs with class = tone index % 3."""
+    rng = np.random.RandomState(0)
+    files, labels, durations = [], [], []
+    for i in range(12):
+        dur = [0.5, 1.0, 1.6][i % 3]
+        n = int(SR * dur)
+        t = np.arange(n) / SR
+        x = 0.4 * np.sin(2 * np.pi * (300 + 100 * (i % 3)) * t)
+        x += 0.01 * rng.randn(n)
+        path = tmp_path / f"clip{i}.wav"
+        write_wav(str(path), x.astype(np.float32), SR)
+        files.append(str(path))
+        labels.append(f"class{i % 3}")
+        durations.append(n)
+    import pandas as pd
+    manifest = tmp_path / "train.csv"
+    pd.DataFrame({"files": files, "labels": labels,
+                  "durations": durations}).to_csv(manifest, index=False)
+    lbl_map = tmp_path / "lbl_map.json"
+    lbl_map.write_text(json.dumps({"class0": 0, "class1": 1, "class2": 2}))
+    return tmp_path, str(manifest), str(lbl_map)
+
+
+class TestAudioIO:
+    def test_load_roundtrip_and_tile_pad(self, tmp_path):
+        x = np.sin(np.arange(8000) / 50).astype(np.float32) * 0.5
+        p = str(tmp_path / "a.wav")
+        write_wav(p, x, SR)
+        y = load_audio(p, SR, min_duration=None)
+        assert y.dtype == np.float32
+        np.testing.assert_allclose(y, x, atol=1e-3)  # 16-bit quantization
+        # tile-pad to 1 s (reference utils.py:112-116)
+        y2 = load_audio(p, SR, min_duration=1.0)
+        assert len(y2) == SR
+        np.testing.assert_allclose(y2[:8000], y2[8000:16000], atol=1e-6)
+
+    def test_cropped_read(self, tmp_path):
+        x = np.linspace(-0.5, 0.5, SR * 2).astype(np.float32)
+        p = str(tmp_path / "b.wav")
+        write_wav(p, x, SR)
+        y = load_audio(p, SR, min_duration=1.0, read_cropped=True,
+                       frames_to_read=SR, audio_size=SR * 2)
+        assert len(y) == SR
+
+    def test_load_bytes_fallbacks(self, tmp_path):
+        x = np.sin(np.arange(SR) / 30).astype(np.float32) * 0.3
+        p = str(tmp_path / "c.wav")
+        write_wav(p, x, SR)
+        raw = open(p, "rb").read()
+        y = load_audio_bytes(raw, SR, min_duration=1.0)
+        assert y is not None and len(y) == SR
+        assert load_audio_bytes(b"not audio at all", SR) is None
+
+    def test_sample_rate_mismatch_raises(self, tmp_path):
+        p = str(tmp_path / "d.wav")
+        write_wav(p, np.zeros(100, np.float32), 8000)
+        with pytest.raises(AssertionError):
+            load_audio(p, SR, min_duration=None)
+
+
+class TestTransforms:
+    def test_pad_to_size_wrap_and_constant(self):
+        x = np.array([1.0, 2.0, 3.0, 4.0], np.float32)
+        wrapped = T.PadToSize(8, "wrap")(x)
+        assert len(wrapped) == 8
+        # center offset = 2: [3,4,1,2,3,4,1,2]
+        np.testing.assert_allclose(wrapped,
+                                   [3, 4, 1, 2, 3, 4, 1, 2])
+        const = T.PadToSize(8, "constant")(x)
+        np.testing.assert_allclose(const, [1, 1, 1, 2, 3, 4, 1, 1])
+
+    def test_crops(self):
+        x = np.arange(100, dtype=np.float32)
+        assert len(T.RandomCrop(40)(x)) == 40
+        c = T.CenterCrop(40)(x)
+        np.testing.assert_allclose(c, np.arange(30, 70))
+        # shorter signal passes through
+        assert len(T.CenterCrop(200)(x)) == 100
+
+    def test_peak_normalization_only_too_loud(self):
+        loud = np.array([0.5, -2.0, 1.0], np.float32)
+        quiet = np.array([0.5, -0.7, 0.2], np.float32)
+        np.testing.assert_allclose(T.PeakNormalization()(loud),
+                                   [0.25, -1.0, 0.5])
+        np.testing.assert_allclose(T.PeakNormalization()(quiet), quiet)
+
+    def test_random_gain_bounds(self):
+        random.seed(0)
+        x = np.ones(100, np.float32)
+        g = T.RandomGain(min_gain_in_db=-18, max_gain_in_db=6, prob=1.0)
+        for _ in range(20):
+            y = g(x)
+            val = float(y[0])
+            assert 10 ** (-18 / 20) - 1e-6 <= val <= 10 ** (6 / 20) + 1e-6
+
+    def test_add_random_noise_snr_weighting(self):
+        class FakeGen:
+            def __call__(self):
+                return np.ones(10, np.float32)
+        x = np.zeros(10, np.float32)
+        noised = T.AddRandomNoise(FakeGen(), snr_range=(20, 20))(x)
+        # coeff=r/(1+r), noise weight 1-coeff ∈ (0, 0.01] for snr>=20dB
+        assert 0 < float(noised[0]) <= 1.0 / (1.0 + 10 ** 2.0) + 1e-3
+
+    def test_time_masking_zeroes(self):
+        random.seed(1)
+        np.random.seed(1)
+        x = np.ones(1000, np.float32)
+        y = T.TimeMasking(time_perc=0.5, num_masks=2)(x)
+        assert (y == 0).sum() > 0
+        assert (x == 1).all()  # input not mutated
+
+    def test_leaf_pipeline_train_and_val_shapes(self):
+        tr = leaf_supervised_transforms(True, SR, SR)
+        va = leaf_supervised_transforms(False, SR, SR)
+        short = np.random.randn(5000).astype(np.float32) * 0.1
+        long = np.random.randn(30000).astype(np.float32) * 0.1
+        for x in (short, long):
+            assert tr(x).shape == (SR,)
+            assert va(x).shape == (SR,)
+
+    def test_spec_augment_masks(self):
+        random.seed(0)
+        np.random.seed(0)
+        spec = np.ones((40, 100), np.float32)
+        out = T.spec_augment(spec, num_mask=2)
+        assert out.shape == spec.shape
+        assert (out == 0).any()
+
+
+class TestDatasets:
+    def test_raw_dataset_multiclass(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            audio_config={"sample_rate": SR, "normalize": False,
+                          "min_duration": 1},
+            mode="multiclass",
+            transform=leaf_supervised_transforms(True, SR, SR))
+        assert len(ds) == 12
+        x, y = ds[0]
+        assert x.shape == (SR,) and x.dtype == np.float32
+        assert y == 0
+        x, y = ds[5]
+        assert y == 2
+
+    def test_raw_dataset_multilabel(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1},
+            mode="multilabel")
+        _, y = ds[1]
+        np.testing.assert_allclose(y, [0, 1, 0])
+
+    def test_cropped_read_dataset(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1,
+                          "random_clip_size": 1},
+            mode="multiclass", cropped_read=True)
+        x, _ = ds[2]  # 1.6 s file, cropped to 1 s at random offset
+        assert x.shape == (SR,)
+
+    def test_normalize_waveform(self):
+        x = np.random.RandomState(0).randn(1000).astype(np.float32) * 5 + 3
+        y = normalize_waveform(x)
+        assert abs(float(y.mean())) < 1e-4
+        assert abs(float(y.std()) - 1.0) < 1e-3
+
+    def test_packed_dataset(self, wav_dir, tmp_path):
+        import msgpack
+        root, manifest, lbl_map = wav_dir
+        import pandas as pd
+        files = pd.read_csv(manifest)["files"].tolist()
+        # pack 2 shards of 6 records each
+        shard_paths = []
+        for s in range(2):
+            records = []
+            for f in files[s * 6:(s + 1) * 6]:
+                idx = files.index(f)
+                records.append({
+                    "audio": open(f, "rb").read(),
+                    "label": f"class{idx % 3}",
+                    "duration": SR,
+                })
+            p = tmp_path / f"shard{s}.msgpack"
+            p.write_bytes(msgpack.packb(records))
+            shard_paths.append(str(p))
+        pk_manifest = tmp_path / "packed.csv"
+        pd.DataFrame({"files": shard_paths}).to_csv(pk_manifest, index=False)
+
+        ds = PackedDataset(
+            str(pk_manifest), lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1},
+            mode="multiclass", is_val=True,
+            transform=leaf_supervised_transforms(False, SR, SR))
+        assert len(ds) == 2
+        waves, labels = ds[0]
+        assert len(waves) == 6 and waves[0].shape == (SR,)
+        flat_w, flat_l = deflate_packed_batch([ds[0], ds[1]])
+        assert len(flat_w) == 12
+
+
+class TestSamplerLoader:
+    def test_sharded_sampler_partitions(self):
+        samplers = [ShardedSampler(10, num_replicas=4, rank=r, shuffle=False)
+                    for r in range(4)]
+        all_idx = []
+        for s in samplers:
+            idxs = list(s)
+            assert len(idxs) == 3  # ceil(10/4), padded
+            all_idx.extend(idxs)
+        assert set(all_idx) == set(range(10))  # full cover with wrap
+
+    def test_sampler_epoch_reshuffles(self):
+        s = ShardedSampler(100, shuffle=True, seed=0)
+        a = list(s)
+        s.set_epoch(1)
+        b = list(s)
+        assert a != b and sorted(a) == sorted(b)
+
+    def test_collate_fixed_shapes(self):
+        batch = [(np.ones(100, np.float32), 1),
+                 (np.ones(80, np.float32), 2)]
+        x, y = collate_fixed(batch, target_len=120)
+        assert x.shape == (2, 120) and x.dtype == np.float32
+        assert (x[1, 80:] == 0).all()
+        assert y.tolist() == [1, 2]
+
+    def test_loader_end_to_end(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1},
+            mode="multiclass",
+            transform=leaf_supervised_transforms(True, SR, SR))
+        tl, vl = setup_dataloaders(ds, ds, batch_size=4, target_len=SR,
+                                   num_workers=2)
+        batches = list(tl)
+        assert len(batches) == 3  # 12/4 drop_last
+        for x, y in batches:
+            assert x.shape == (4, SR) and y.shape == (4,)
+        # all val items covered, deterministic order
+        v1 = [tuple(y.tolist()) for _, y in vl]
+        v2 = [tuple(y.tolist()) for _, y in vl]
+        assert v1 == v2
+
+    def test_loader_world_sharding(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1},
+            mode="multiclass",
+            transform=leaf_supervised_transforms(True, SR, SR))
+        seen = []
+        for rank in range(2):
+            tl, _ = setup_dataloaders(ds, None, batch_size=3,
+                                      device_world_size=2, local_rank=rank,
+                                      target_len=SR, need_val=False,
+                                      num_workers=1)
+            tl.set_epoch(0)
+            for x, y in tl:
+                assert x.shape == (3, SR)
+                seen.append(y)
+        assert len(seen) == 4  # 2 ranks × 6 samples / 3
