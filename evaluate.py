@@ -1,0 +1,138 @@
+#!/usr/bin/env python
+"""Evaluate a trained checkpoint on a test manifest — the TPU-native
+replacement for the reference's test.py.
+
+Long clips are replicate-padded up to a whole number of seconds, chunked into
+1-second windows, and scored as the MEAN of per-window logits
+(reference: test.py:57-71,126-128) — this is how the 94.5% SCv2 number is
+measured. Multiclass reports accuracy; multilabel reports mAP/mAUC/d-prime
+(test.py:139-155). Results go to <exp_dir>/results.txt, skipped if present
+(test.py:88-91).
+
+Example:
+  python evaluate.py --exp_dir ./exp_scv2_b0 --meta_dir ~/scv2/meta \
+      --test_csv_name test.csv
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import os
+
+import numpy as np
+
+
+def parse_args():
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--test_csv_name", type=str, required=True)
+    p.add_argument("--exp_dir", type=str, required=True)
+    p.add_argument("--meta_dir", type=str, required=True)
+    p.add_argument("--metrics", type=str, default="multiclass",
+                   choices=["multiclass", "multilabel"])
+    p.add_argument("--separator", type=str, default=",")
+    p.add_argument("--ckpt", type=str, default=None,
+                   help="explicit checkpoint dir (default: best by val_acc)")
+    p.add_argument("--platform", type=str, default=None)
+    return p.parse_args()
+
+
+def pad_to_windows(signal: np.ndarray, sr: int) -> np.ndarray:
+    """(T,) → (n_windows, sr): replicate-pad to ceil(T/sr)·sr, centered,
+    then reshape into 1 s windows (reference: test.py:57-71)."""
+    t = signal.shape[-1]
+    size = int(math.ceil(t / sr) * sr)
+    padding = size - t
+    offset = padding // 2
+    signal = np.pad(signal, (offset, padding - offset), mode="edge")
+    return signal.reshape(-1, sr)
+
+
+def main(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.data import RawWaveformDataset
+    from leaf_tpu.data.transforms import Compose, PeakNormalization
+    from leaf_tpu.models import Classifier
+    from leaf_tpu.training import TrainState
+    from leaf_tpu.training.checkpoint import (best_checkpoint,
+                                              load_checkpoint, load_hparams)
+    from leaf_tpu.training.metrics import (calculate_mAP, calculate_stats,
+                                           d_prime)
+    import optax
+
+    cfg = load_hparams(args.exp_dir)
+    ckpt = args.ckpt or best_checkpoint(args.exp_dir)
+    assert ckpt, f"no checkpoint found under {args.exp_dir}"
+    ckpt_name = os.path.basename(ckpt)
+    res_path = os.path.join(args.exp_dir, "results.txt")
+    if os.path.exists(res_path):
+        print(f"{res_path} exists, skipping (reference test.py:88-91)")
+        return
+
+    ac = cfg["audio_config"]
+    sr = int(ac["sample_rate"])
+    val_tfs = Compose([PeakNormalization(sr=sr)])
+    test_set = RawWaveformDataset(
+        os.path.join(args.meta_dir, args.test_csv_name),
+        os.path.join(args.meta_dir, "lbl_map.json"),
+        ac, mode=args.metrics, transform=val_tfs, is_val=True,
+        delimiter=args.separator)
+
+    model = Classifier(cfg=cfg)
+    sample = jnp.zeros((1, sr), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, sample, train=False)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=optax.identity())
+    state, meta = load_checkpoint(ckpt, state, with_opt=False)
+    print(f"loaded {ckpt} (val metric {meta.get('val_acc', 'n/a')})")
+
+    @jax.jit
+    def forward(params, batch_stats, x):
+        return model.apply({"params": params, "batch_stats": batch_stats},
+                           x, train=False)
+
+    all_preds, all_gts = [], []
+    for i in range(len(test_set)):
+        x, y = test_set[i]
+        windows = pad_to_windows(np.asarray(x), sr)
+        logits = forward(state.params, state.batch_stats,
+                         jnp.asarray(windows))
+        mean_logits = jnp.mean(logits, axis=0)  # mean over 1 s windows
+        if args.metrics == "multiclass":
+            all_preds.append(int(jnp.argmax(mean_logits)))
+            all_gts.append(int(y))
+        else:
+            all_preds.append(np.asarray(jax.nn.sigmoid(mean_logits))[None])
+            all_gts.append(np.asarray(y, dtype=np.float32)[None])
+        if (i + 1) % 200 == 0:
+            print(f"{i + 1}/{len(test_set)}")
+
+    if args.metrics == "multiclass":
+        acc = float(np.mean(np.asarray(all_preds) == np.asarray(all_gts)))
+        print(f"Accuracy: {acc:.4f}")
+        with open(res_path, "w") as fd:
+            fd.write("model,acc,ckpt\n")
+            fd.write(f"{cfg['model']['arch']},{acc},{ckpt_name}\n")
+    else:
+        macro_mAP = calculate_mAP(all_preds, all_gts, mode="macro")
+        preds = np.concatenate(all_preds)
+        gts = np.concatenate(all_gts)
+        stats = calculate_stats(preds, gts)
+        mAUC = float(np.mean([s["auc"] for s in stats]))
+        dp = d_prime(mAUC)
+        print(f"mAP: {macro_mAP:.5f}\nmAUC: {mAUC:.5f}\ndprime: {dp:.5f}")
+        with open(res_path, "w") as fd:
+            fd.write("model,mAP,mAUC,dprime,ckpt\n")
+            fd.write(f"{cfg['model']['arch']},{macro_mAP},{mAUC},{dp},"
+                     f"{ckpt_name}\n")
+
+
+if __name__ == "__main__":
+    main(parse_args())

@@ -56,8 +56,20 @@ def save_checkpoint(exp_dir: str, state, epoch: int,
     return path
 
 
-def load_checkpoint(path: str, state) -> Tuple[Any, Dict]:
-    """Restore a TrainState (template = ``state``) + its metadata."""
+def load_checkpoint(path: str, state, with_opt: bool = True) -> Tuple[Any, Dict]:
+    """Restore a TrainState (template = ``state``) + its metadata.
+
+    ``with_opt=False`` restores only step/params/batch_stats — for
+    evaluation, where the consumer's optimizer (e.g. optax.identity) does
+    not match the training optimizer's saved state tree."""
+    if not with_opt:
+        restored_raw, meta = _restore_raw(path)
+        import jax.numpy as jnp
+        return state.replace(
+            step=jnp.asarray(restored_raw["step"]),
+            params=restored_raw["params"],
+            batch_stats=restored_raw["batch_stats"],
+        ), meta
     ckptr = ocp.StandardCheckpointer()
     template = {
         "step": state.step,

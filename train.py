@@ -1,0 +1,240 @@
+#!/usr/bin/env python
+"""Train a LEAF + CNN classifier on a TPU slice (or CPU) — the TPU-native
+replacement for the reference's train.py / train_xla.py drivers.
+
+One SPMD process drives the whole local slice: a 1-D 'data' mesh, batches
+sharded over it, params replicated, the entire step (augmented forward, loss,
+grads, all-reduce, optimizer, metrics) as ONE jitted program. Contrast with
+the reference (train_xla.py:369-375): per-core process spawn, host-side
+metric rendezvous (xm.mesh_reduce 296,303), per-step loss.item() sync (291),
+master-only validation (312-338) — all replaced by on-device epoch
+accumulators and full-mesh validation.
+
+Example (flagship SpeechCommands recipe, reference README.md:59-62):
+  python train.py --cfg_file cfgs/speechcommands/efficientnet-b0-leaf-default.cfg \
+      --expdir ./exp_scv2_b0 --epochs 100 --random_seed 8881
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def parse_args():
+    # Flag parity with reference train_xla.py:55-91.
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--cfg_file", type=str, required=True)
+    p.add_argument("--expdir", type=str, required=True)
+    p.add_argument("--epochs", type=int, default=100)
+    p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--use_packed_dataset", action="store_true")
+    p.add_argument("--cropped_read", action="store_true")
+    p.add_argument("--gcs_bucket_name", type=str, default=None)
+    p.add_argument("--continue_from_ckpt", type=str, default=None)
+    p.add_argument("--random_seed", type=int, default=8881)
+    p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="restrict to first N devices (default: all)")
+    p.add_argument("--labels_delimiter", type=str, default=",")
+    p.add_argument("--no_wandb", action="store_true", default=True)
+    p.add_argument("--wandb_project", type=str, default=None)
+    p.add_argument("--wandb_group", type=str, default=None)
+    p.add_argument("--wandb_tags", type=str, default=None)
+    p.add_argument("--bf16", action="store_true",
+                   help="run the model in bfloat16 compute (fp32 params)")
+    p.add_argument("--profile_dir", type=str, default=None)
+    p.add_argument("--platform", type=str, default=None,
+                   help="force a jax platform (cpu/tpu) before first use")
+    return p.parse_args()
+
+
+def train(args):
+    if args.platform:
+        import jax
+        jax.config.update("jax_platforms", args.platform)
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.data import (RawWaveformDataset, PackedDataset,
+                               leaf_supervised_transforms, setup_dataloaders)
+    from leaf_tpu.models import Classifier
+    from leaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    from leaf_tpu.training import (TrainState, get_config, make_eval_step,
+                                   make_train_step, optimization_helper)
+    from leaf_tpu.training.checkpoint import (load_checkpoint,
+                                              save_checkpoint, save_hparams)
+    from leaf_tpu.training.loggers import RateTracker, TrainLogger
+
+    np.random.seed(args.random_seed)
+    cfg = get_config(args.cfg_file)
+    mode = cfg["model"]["type"]
+    multiclass = mode == "multiclass"
+    ac = cfg["audio_config"]
+    sr = int(ac["sample_rate"])
+    tr_clip = int(float(ac.get("random_clip_size", 2.5)) * sr)
+    val_clip = int(float(ac.get("val_clip_size", 2.5)) * sr)
+    batch_size = int(cfg["opt"]["batch_size"])
+    use_mixup = bool(ac.get("mixup", False))
+
+    mesh = make_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    world = jax.process_count()
+    rank = jax.process_index()
+    is_master = rank == 0
+
+    logger = TrainLogger(
+        args.expdir, is_master=is_master,
+        wandb_config=None if args.no_wandb else {
+            "project": args.wandb_project,
+            "group": args.wandb_group,
+            "tags": args.wandb_tags.split(",") if args.wandb_tags else None,
+            "name": os.path.basename(args.expdir),
+            "config": cfg,
+        })
+    logger.print(f"devices: {n_dev} | processes: {world} | mode: {mode}")
+
+    # ------------------------------------------------------------- data
+    tr_tfs = leaf_supervised_transforms(True, tr_clip, sr)
+    val_tfs = leaf_supervised_transforms(False, val_clip, sr)
+    ds_cls = PackedDataset if args.use_packed_dataset else RawWaveformDataset
+    extra = ({"gcs_bucket_path": args.gcs_bucket_name}
+             if args.use_packed_dataset else {})
+    train_set = ds_cls(cfg["data"]["train"], cfg["data"]["labels"], ac,
+                       mode=mode, delimiter=args.labels_delimiter,
+                       transform=tr_tfs, cropped_read=args.cropped_read,
+                       **extra)
+    val_set = ds_cls(cfg["data"]["val"], cfg["data"]["labels"], ac,
+                     mode=mode, delimiter=args.labels_delimiter,
+                     transform=val_tfs, is_val=True, **extra)
+    train_loader, val_loader = setup_dataloaders(
+        train_set, val_set, batch_size,
+        device_world_size=world, local_rank=rank,
+        target_len=tr_clip, val_target_len=val_clip,
+        multiclass=multiclass, num_workers=args.num_workers,
+        multi_device_val=True, seed=args.random_seed)
+    steps_per_epoch = len(train_loader)
+    logger.print(f"train batches/epoch: {steps_per_epoch} | "
+                 f"val batches: {len(val_loader)}")
+
+    # ------------------------------------------------------------ model
+    model = Classifier(cfg=cfg)
+    rng = jax.random.PRNGKey(args.random_seed)
+    sample = jnp.zeros((2, tr_clip), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": rng}, sample, train=False)
+    tx, plateau, sched_name = optimization_helper(
+        cfg, num_devices=n_dev,
+        num_tr_steps_per_epoch=steps_per_epoch, num_epochs=args.epochs)
+    state = TrainState.create(
+        apply_fn=model.apply, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx)
+    n_params = sum(int(np.prod(p.shape))
+                   for p in jax.tree_util.tree_leaves(state.params))
+    logger.print(f"model params: {n_params:,}")
+
+    start_epoch = 0
+    if args.continue_from_ckpt:
+        state, meta = load_checkpoint(args.continue_from_ckpt, state)
+        start_epoch = int(meta.get("epoch", -1)) + 1
+        if plateau is not None and "scheduler" in meta:
+            plateau.load_state_dict(meta["scheduler"])
+        logger.print(f"resumed from {args.continue_from_ckpt} "
+                     f"at epoch {start_epoch}")
+
+    with mesh:
+        state = jax.device_put(state, None)  # let jit place; params replicate
+        state = state.replace(
+            params=shard_params(mesh, state.params),
+            batch_stats=shard_params(mesh, state.batch_stats),
+            opt_state=jax.tree_util.tree_map(
+                lambda x: x, state.opt_state))
+
+        train_step = make_train_step(
+            mode, mixup_alpha=1.0 if use_mixup else None)
+        eval_step = make_eval_step(mode)
+        step_rng = jax.random.PRNGKey(args.random_seed + 1)
+
+        save_hparams(args.expdir, cfg)
+        best_val = -1.0
+        for epoch in range(start_epoch, args.epochs):
+            train_loader.set_epoch(epoch)
+            tracker = RateTracker()
+            ep_loss = ep_correct = ep_count = None
+            t0 = time.time()
+            for bi, (x, y) in enumerate(train_loader):
+                xb = shard_batch(mesh, jnp.asarray(x))
+                yb = shard_batch(mesh, jnp.asarray(y))
+                state, metrics = train_step(state, xb, yb, step_rng)
+                # accumulate ON DEVICE — no per-step host sync
+                if ep_loss is None:
+                    ep_loss = metrics["loss"]
+                    ep_correct = metrics["correct"]
+                    ep_count = metrics["count"]
+                else:
+                    ep_loss = ep_loss + metrics["loss"]
+                    ep_correct = ep_correct + metrics["correct"]
+                    ep_count = ep_count + metrics["count"]
+                tracker.add(x.shape[0])
+                if bi % args.log_steps == 0:
+                    logger.print(
+                        f"epoch {epoch} step {bi}/{steps_per_epoch} "
+                        f"rate {tracker.rate():.1f} ex/s "
+                        f"global {tracker.global_rate():.1f} ex/s")
+            n_steps = bi + 1
+            tr_loss = float(ep_loss) / n_steps
+            tr_acc = (float(ep_correct) / max(1, int(ep_count))
+                      if multiclass else 0.0)
+
+            # --------------------------------------------------- validation
+            v_loss = v_correct = v_count = 0.0
+            outputs, gts = [], []
+            for x, y in val_loader:
+                xb = shard_batch(mesh, jnp.asarray(x))
+                yb = shard_batch(mesh, jnp.asarray(y))
+                m = eval_step(state, xb, yb)
+                v_loss += float(m["loss"])
+                v_correct += int(m["correct"])
+                v_count += int(m["count"])
+                if not multiclass:
+                    outputs.append(np.asarray(m["outputs"]))
+                    gts.append(np.asarray(yb))
+            val_loss = v_loss / max(1, len(val_loader))
+            if multiclass:
+                val_metric = v_correct / max(1, v_count)
+                metric_name = "val_acc"
+            else:
+                from leaf_tpu.training.metrics import calculate_mAP
+                val_metric = calculate_mAP(outputs, gts, mixup=use_mixup)
+                metric_name = "val_mAP"
+
+            dt = time.time() - t0
+            logger.print(
+                f"epoch {epoch}: tr_loss {tr_loss:.4f} tr_acc {tr_acc:.4f} "
+                f"val_loss {val_loss:.4f} {metric_name} {val_metric:.4f} "
+                f"({dt:.1f}s, {tracker.global_rate():.1f} ex/s)")
+            logger.log_scalars(
+                {"train/loss": tr_loss, "train/acc": tr_acc,
+                 "val/loss": val_loss, f"val/{metric_name}": val_metric,
+                 "train/examples_per_sec": tracker.global_rate()},
+                step=epoch)
+
+            sched_state = (plateau.state_dict()
+                           if plateau is not None else None)
+            save_checkpoint(args.expdir, state, epoch, tr_loss, tr_acc,
+                            val_metric, scheduler_state=sched_state)
+            if plateau is not None:
+                new_lr = plateau.step(val_metric)
+                state.opt_state.hyperparams["learning_rate"] = \
+                    jnp.asarray(new_lr, jnp.float32)
+            best_val = max(best_val, val_metric)
+        logger.print(f"done. best {metric_name}: {best_val:.4f}")
+        logger.close()
+        return best_val
+
+
+if __name__ == "__main__":
+    train(parse_args())
