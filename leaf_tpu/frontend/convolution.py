@@ -96,6 +96,12 @@ class GaborConv1d(nn.Module):
             pad = tf_same_padding_1d(self.kernel_size)
         else:
             pad = self.padding
+        # Runs in x.dtype (bf16 under Leaf's compute_dtype): the TPU MXU
+        # accumulates bf16 dots in f32 internally and only the OUTPUT is
+        # rounded, so bf16 here halves HBM traffic at full accumulator
+        # precision. (An explicit preferred_element_type=f32 would be
+        # cleaner still, but lax.conv's transpose rule rejects the
+        # mixed-dtype cotangent it produces.)
         out = lax.conv_general_dilated(
             x,
             kernel.astype(x.dtype),

@@ -82,6 +82,10 @@ class Leaf(nn.Module):
     use_legacy_complex: bool = False  # config-parity no-op; see impulse_responses.py
     initializer: Union[str, Callable] = "default"
     param_dtype: Any = jnp.float32
+    # bfloat16 here halves HBM traffic on the (B, T, 2F)/(B, T, F)
+    # intermediates and doubles MXU rate; all contractions still accumulate
+    # in f32 (preferred_element_type) and PCEN runs in f32.
+    compute_dtype: Any = jnp.float32
 
     @property
     def window_size(self) -> int:
@@ -105,6 +109,7 @@ class Leaf(nn.Module):
         if self.preemp:
             x = Preemphasis(param_dtype=self.param_dtype, name="preemp")(x)
 
+        x = x.astype(self.compute_dtype)
         out = convolution.GaborConv1d(
             filters=2 * self.n_filters,
             kernel_size=self.window_size,
@@ -119,6 +124,7 @@ class Leaf(nn.Module):
             name="complex_conv",
         )(x)
         out = SquaredModulus(name="activation")(out)
+        out = out.astype(self.compute_dtype)
         out = pooling.GaussianLowPass(
             in_channels=self.n_filters,
             kernel_size=self.window_size,

@@ -27,8 +27,12 @@ def get_frontend(opt: dict) -> Leaf:
     default_args = front_end_config.get("default_args", False)
     use_legacy_complex = front_end_config.get("use_legacy_complex", False)
     initializer = front_end_config.get("initializer", "default")
+    import jax.numpy as jnp
+    compute_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        front_end_config.get("compute_dtype", "float32")]
     if default_args:
-        fe = Leaf(use_legacy_complex=use_legacy_complex, initializer=initializer)
+        fe = Leaf(use_legacy_complex=use_legacy_complex,
+                  initializer=initializer, compute_dtype=compute_dtype)
     else:
         fe = Leaf(
             n_filters=int(front_end_config.get("n_filters", 40.0)),
@@ -42,6 +46,7 @@ def get_frontend(opt: dict) -> Leaf:
             pcen_compression=bool(front_end_config.get("pcen_compress", True)),
             use_legacy_complex=use_legacy_complex,
             initializer=initializer,
+            compute_dtype=compute_dtype,
         )
     return fe
 

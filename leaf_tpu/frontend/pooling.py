@@ -57,7 +57,7 @@ def depthwise_strided_conv(x: jnp.ndarray, windows: jnp.ndarray,
         term = jnp.einsum("bfrc,cr->bfc", y[:, j:j + f, :rj, :],
                           wj.astype(x.dtype))
         out = term if out is None else out + term
-    return out
+    return out.astype(jnp.float32)
 
 
 class GaussianLowPass(nn.Module):
