@@ -73,6 +73,9 @@ class GaborConv1d(nn.Module):
     min_freq: float = 60.0
     max_freq: float = 7800.0
     param_dtype: Any = jnp.float32
+    # emit the generated (K, 2F) filter bank instead of convolving — used by
+    # the fused Pallas path (leaf_tpu.ops); the param tree is identical.
+    emit_filters: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -90,6 +93,8 @@ class GaborConv1d(nn.Module):
         real_f, imag_f = gabor_filters_real_imag(constrained, self.kernel_size)
         # (K, 1, 2F) kernel: [real bank | imag bank] along the output-channel axis.
         bank = jnp.concatenate([real_f, imag_f], axis=0)  # (2F, K)
+        if self.emit_filters:
+            return bank.T  # (K, 2F)
         kernel = bank.T[:, None, :]  # (K, 1, 2F)
 
         if isinstance(self.padding, str) and self.padding.lower() == "same":

@@ -86,6 +86,11 @@ class Leaf(nn.Module):
     # intermediates and doubles MXU rate; all contractions still accumulate
     # in f32 (preferred_element_type) and PCEN runs in f32.
     compute_dtype: Any = jnp.float32
+    # 'auto' | 'on' | 'off': the fused Pallas conv+sqmod+lowpass kernel
+    # (leaf_tpu.ops.fused_frontend, ~2× over the XLA path on v5e). 'auto'
+    # enables it on TPU when applicable (no preemp — the kernel produces no
+    # waveform gradient — 401 taps, batch tileable). Same params either way.
+    use_fused_kernel: str = "auto"
 
     @property
     def window_size(self) -> int:
@@ -96,6 +101,22 @@ class Leaf(nn.Module):
     def stride(self) -> int:
         # int(sr * window_stride // 1000), reference frontend.py:39
         return int(self.sample_rate * self.window_stride // 1000)
+
+    def _fused_applicable(self, x: jnp.ndarray) -> bool:
+        if self.use_fused_kernel == "off":
+            return False
+        b = x.shape[0]
+        tileable = b <= 128 or b % 128 == 0
+        applicable = (not self.preemp and self.window_size == 401
+                      and tileable)
+        if self.use_fused_kernel == "on":
+            if not applicable:
+                raise ValueError(
+                    "use_fused_kernel='on' requires preemp=False, "
+                    "window_size=401 and a 128-tileable batch")
+            return True
+        import jax
+        return applicable and jax.default_backend() == "tpu"
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -110,29 +131,60 @@ class Leaf(nn.Module):
             x = Preemphasis(param_dtype=self.param_dtype, name="preemp")(x)
 
         x = x.astype(self.compute_dtype)
-        out = convolution.GaborConv1d(
-            filters=2 * self.n_filters,
-            kernel_size=self.window_size,
-            strides=1,
-            padding="same",
-            initializer=self.initializer,
-            use_bias=False,
-            sample_rate=self.sample_rate,
-            min_freq=self.init_min_freq,
-            max_freq=self.init_max_freq,
-            param_dtype=self.param_dtype,
-            name="complex_conv",
-        )(x)
-        out = SquaredModulus(name="activation")(out)
-        out = out.astype(self.compute_dtype)
-        out = pooling.GaussianLowPass(
-            in_channels=self.n_filters,
-            kernel_size=self.window_size,
-            strides=self.stride,
-            padding="same",
-            param_dtype=self.param_dtype,
-            name="pooling",
-        )(out)
+        if self._fused_applicable(x):
+            from leaf_tpu.ops.fused_frontend import fused_gabor_sqmod_lowpass
+            from leaf_tpu.frontend.utils import tf_same_padding_1d
+            bank = convolution.GaborConv1d(
+                filters=2 * self.n_filters,
+                kernel_size=self.window_size,
+                initializer=self.initializer,
+                use_bias=False,
+                sample_rate=self.sample_rate,
+                min_freq=self.init_min_freq,
+                max_freq=self.init_max_freq,
+                param_dtype=self.param_dtype,
+                emit_filters=True,
+                name="complex_conv",
+            )(x)
+            windows, bias = pooling.GaussianLowPass(
+                in_channels=self.n_filters,
+                kernel_size=self.window_size,
+                strides=self.stride,
+                padding="same",
+                param_dtype=self.param_dtype,
+                emit_windows=True,
+                name="pooling",
+            )(x)
+            import jax
+            out = fused_gabor_sqmod_lowpass(
+                x[:, :, 0], bank.astype(x.dtype), windows,
+                self.stride, tf_same_padding_1d(self.window_size),
+                jax.default_backend() != "tpu")  # interpret off-TPU
+            out = out + bias
+        else:
+            out = convolution.GaborConv1d(
+                filters=2 * self.n_filters,
+                kernel_size=self.window_size,
+                strides=1,
+                padding="same",
+                initializer=self.initializer,
+                use_bias=False,
+                sample_rate=self.sample_rate,
+                min_freq=self.init_min_freq,
+                max_freq=self.init_max_freq,
+                param_dtype=self.param_dtype,
+                name="complex_conv",
+            )(x)
+            out = SquaredModulus(name="activation")(out)
+            out = out.astype(self.compute_dtype)
+            out = pooling.GaussianLowPass(
+                in_channels=self.n_filters,
+                kernel_size=self.window_size,
+                strides=self.stride,
+                padding="same",
+                param_dtype=self.param_dtype,
+                name="pooling",
+            )(out)
         out = jnp.maximum(out, 1e-5)
         if self.pcen_compression:
             out = postprocessing.PCENLayer(

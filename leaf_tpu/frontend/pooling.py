@@ -67,6 +67,9 @@ class GaussianLowPass(nn.Module):
     padding: Union[str, tuple] = "same"
     use_bias: bool = True
     param_dtype: Any = jnp.float32
+    # emit (windows, bias) instead of pooling — used by the fused Pallas
+    # path (leaf_tpu.ops); the param tree is identical.
+    emit_windows: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
@@ -78,6 +81,11 @@ class GaussianLowPass(nn.Module):
             self.param_dtype,
         )
         windows = gaussian_lowpass(w, self.kernel_size)  # (C, K)
+        if self.emit_windows:
+            bias = (self.param("bias", nn.initializers.ones,
+                               (self.in_channels,), self.param_dtype)
+                    if self.use_bias else None)
+            return windows, bias
 
         if isinstance(self.padding, str) and self.padding.lower() == "same":
             pad = tf_same_padding_1d(self.kernel_size)
