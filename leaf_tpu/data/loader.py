@@ -86,6 +86,26 @@ def collate_fixed(batch, target_len: Optional[int] = None,
     return out, y
 
 
+def collate_contrastive(batch, target_len: Optional[int] = None):
+    """Two-view contrastive collate: items are (x_i, x_j, target,
+    supervised_target) — reference utilities/data/utils.py:56-85. Returns
+    (xi (B,T), xj (B,T), targets (B,), supervised_targets (B, C))."""
+    xi = [np.asarray(b[0], dtype=np.float32).reshape(-1) for b in batch]
+    xj = [np.asarray(b[1], dtype=np.float32).reshape(-1) for b in batch]
+    t = target_len or max(max(len(a) for a in xi), max(len(a) for a in xj))
+
+    def stack(ws):
+        out = np.zeros((len(ws), t), dtype=np.float32)
+        for i, w in enumerate(ws):
+            n = min(len(w), t)
+            out[i, :n] = w[:n]
+        return out
+
+    targets = np.asarray([b[2] for b in batch], dtype=np.int32)
+    sup = np.stack([np.asarray(b[3], dtype=np.float32) for b in batch])
+    return stack(xi), stack(xj), targets, sup
+
+
 class DataLoader:
     """Minimal map-style loader: sampler → worker threads → prefetch queue.
 
@@ -144,14 +164,22 @@ class DataLoader:
         next_seq = [0]
         done = threading.Event()
 
+        errors = []
+
         def worker():
             while not done.is_set():
                 try:
                     seq, chunk = work_q.get_nowait()
                 except queue.Empty:
                     return
-                items = [self.dataset[i] for i in chunk]
-                batch = self.collate_fn(items)
+                try:
+                    items = [self.dataset[i] for i in chunk]
+                    batch = self.collate_fn(items)
+                except Exception as exc:  # surface in the main thread
+                    with results_lock:
+                        errors.append(exc)
+                    done.set()
+                    return
                 with results_lock:
                     results[seq] = batch
 
@@ -165,6 +193,8 @@ class DataLoader:
             import time
             while delivered < n_batches:
                 with results_lock:
+                    if errors:
+                        raise errors[0]
                     batch = results.pop(next_seq[0], None)
                 if batch is None:
                     time.sleep(0.001)

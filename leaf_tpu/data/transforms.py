@@ -188,6 +188,19 @@ class PeakNormalization:
         return x
 
 
+class RandomReverb:
+    """Present for API parity only. The reference implements reverb via
+    sox/WavAugment and then disables it as "TOO SLOW" in every pipeline
+    (reference: raw_transforms.py:217-237, 371). A TPU-native batched
+    reverb belongs on-device as an FIR conv; not implemented."""
+
+    def __init__(self, *args, **kwargs):
+        raise NotImplementedError(
+            "RandomReverb is disabled (the reference never enables it; "
+            "its sox-based implementation was 'TOO SLOW', "
+            "raw_transforms.py:371)")
+
+
 class AddGaussianNoise:
     """x + a·N(0,1), a ~ U[min_amplitude, max_amplitude]
     (reference:314-331). Can leave [-1,1]; normalize after."""
@@ -339,6 +352,22 @@ def simple_supervised_transforms(is_train: bool, size: int,
         tfs = [PadToSize(size, "wrap"), CenterCrop(size),
                PeakNormalization(sr=sample_rate)]
     return Compose(tfs)
+
+
+def leaf_host_crop_transforms(is_train: bool, size: int) -> Compose:
+    """Host-side HALF of the LEAF pipeline: only the shape-changing ops
+    (pad + crop). The elementwise augments (gain / noise / peak-norm) run
+    on device inside the jitted step — see
+    leaf_tpu.data.device_augment.leaf_device_augment. Together these equal
+    ``leaf_supervised_transforms`` in distribution while lifting the host
+    loader's per-sample Python cost ~10×."""
+    if is_train:
+        return Compose([
+            OneOf([PadToSize(size, "wrap"), PadToSize(size, "constant")],
+                  p=[0.5, 0.5]),
+            RandomCrop(size),
+        ])
+    return Compose([PadToSize(size, "wrap"), CenterCrop(size)])
 
 
 def leaf_supervised_transforms(is_train: bool, size: int,

@@ -93,6 +93,22 @@ def load_checkpoint(path: str, state, with_opt: bool = True) -> Tuple[Any, Dict]
     return new_state, meta
 
 
+def latest_checkpoint(exp_dir: str) -> Optional[str]:
+    """Newest epoch directory — enables `--continue_from_ckpt latest`
+    auto-resume after preemption (the reference requires a manual path,
+    train_xla.py:202-205)."""
+    if not os.path.isdir(exp_dir):
+        return None
+    epochs = []
+    for name in os.listdir(exp_dir):
+        m = _CKPT_RE.match(name)
+        if m and os.path.exists(os.path.join(exp_dir, name, "meta.json")):
+            epochs.append((int(m.group(1)), name))
+    if not epochs:
+        return None
+    return os.path.join(exp_dir, max(epochs)[1])
+
+
 def best_checkpoint(exp_dir: str, key: str = "val_acc") -> Optional[str]:
     """Pick the checkpoint with the best metric — the reference parses
     val_acc out of filenames (test.py:41-45); here it's read from meta.json."""

@@ -70,6 +70,7 @@ def make_train_step(
     model_type: str = "multiclass",
     mixup_alpha: Optional[float] = None,
     donate: bool = True,
+    augment_fn: Optional[Callable] = None,
 ) -> Callable:
     """Build the jitted train step: (state, x, y, rng) → (state, metrics).
 
@@ -77,6 +78,10 @@ def make_train_step(
     host once per epoch (train accuracy is meaningless under multilabel/mixup
     and reported as 0, mirroring the reference's multiclass-only tracker,
     train_xla.py:268-278).
+
+    ``augment_fn(rng, x)`` runs on-device inside the step (e.g.
+    leaf_tpu.data.device_augment.leaf_device_augment), replacing the
+    reference's host-side torch_audiomentations augments.
     """
     multilabel = model_type == "multilabel"
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
@@ -84,7 +89,9 @@ def make_train_step(
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray,
              rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
         step_rng = jax.random.fold_in(rng, state.step)
-        rng_mix, rng_drop = jax.random.split(step_rng)
+        rng_mix, rng_drop, rng_aug = jax.random.split(step_rng, 3)
+        if augment_fn is not None:
+            x = augment_fn(rng_aug, x)
 
         def loss_fn(params):
             xx, yy = x, y

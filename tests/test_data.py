@@ -297,3 +297,62 @@ class TestSamplerLoader:
                 assert x.shape == (3, SR)
                 seen.append(y)
         assert len(seen) == 4  # 2 ranks × 6 samples / 3
+
+
+class TestLoaderRobustness:
+    def test_worker_exception_propagates(self):
+        class ExplodingDataset:
+            def __len__(self):
+                return 8
+
+            def __getitem__(self, i):
+                if i == 5:
+                    raise RuntimeError("corrupt sample")
+                return np.ones(100, np.float32), 0
+
+        dl = DataLoader(ExplodingDataset(), batch_size=4, shuffle=False,
+                        target_len=100, num_workers=2)
+        with pytest.raises(RuntimeError, match="corrupt sample"):
+            list(dl)
+
+
+class TestDeviceAugment:
+    def test_distribution_matches_host_pipeline(self):
+        """Device augments must match the host transforms in distribution:
+        compare means/stds of gain factors and noise over many samples."""
+        import jax
+        import jax.numpy as jnp
+        from leaf_tpu.data.device_augment import (leaf_device_augment,
+                                                  peak_normalize)
+        rng = np.random.RandomState(0)
+        x = np.ones((512, 1000), np.float32) * 0.5
+        out = np.asarray(leaf_device_augment(
+            jax.random.PRNGKey(0), jnp.asarray(x)))
+        assert out.shape == x.shape
+        # peak-normalized → nothing exceeds 1
+        assert np.abs(out).max() <= 1.0 + 1e-6
+        # roughly a quarter of rows got gain (effective p = 0.5·0.5)
+        row_means = out.mean(axis=1)
+        changed_scale = np.abs(row_means - 0.5) > 0.02
+        frac = changed_scale.mean()
+        assert 0.1 < frac < 0.5, frac
+
+    def test_peak_normalize_only_too_loud(self):
+        import jax.numpy as jnp
+        from leaf_tpu.data.device_augment import peak_normalize
+        x = np.zeros((2, 4), np.float32)
+        x[0] = [0.5, -2.0, 1.0, 0.1]
+        x[1] = [0.5, -0.7, 0.2, 0.0]
+        y = np.asarray(peak_normalize(jnp.asarray(x)))
+        np.testing.assert_allclose(y[0], [0.25, -1.0, 0.5, 0.05])
+        np.testing.assert_allclose(y[1], x[1])
+
+    def test_host_crop_transforms_shapes(self):
+        from leaf_tpu.data.transforms import leaf_host_crop_transforms
+        tr = leaf_host_crop_transforms(True, SR)
+        va = leaf_host_crop_transforms(False, SR)
+        short = np.random.randn(5000).astype(np.float32)
+        long = np.random.randn(30000).astype(np.float32)
+        for x in (short, long):
+            assert tr(x).shape == (SR,)
+            assert va(x).shape == (SR,)

@@ -1,0 +1,112 @@
+"""Cross-validation against the ACTUAL torch reference code.
+
+Loads the reference's leaf_pytorch modules (reference mounted read-only at
+/root/reference), injects identical parameter values into both
+implementations, and compares full frontend outputs end-to-end. This is the
+ground-truth parity check: not against a re-derived oracle, but against the
+code being reimplemented, running on torch CPU.
+
+torchaudio is not installed, so the reference's mel-init import is stubbed;
+initialization parity itself is covered by tests/test_frontend_math.py's
+float64 oracle. Here mel-init (μ, σ) values computed by OUR initializer are
+injected into BOTH frontends.
+"""
+
+import importlib.util
+import os
+import sys
+import types
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+
+def _load_reference_leaf():
+    """Import reference leaf_pytorch with a torchaudio stub (only used for
+    mel init, which we bypass by injecting params)."""
+    if "leaf_pytorch.frontend" in sys.modules:
+        return sys.modules["leaf_pytorch.frontend"].Leaf
+    ta = types.ModuleType("torchaudio")
+    taf = types.ModuleType("torchaudio.functional")
+
+    def melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate):
+        # never trusted — params are overwritten after construction
+        return torch.rand(n_freqs, n_mels)
+
+    taf.melscale_fbanks = melscale_fbanks
+    ta.functional = taf
+    sys.modules.setdefault("torchaudio", ta)
+    sys.modules.setdefault("torchaudio.functional", taf)
+
+    pkg = types.ModuleType("leaf_pytorch")
+    pkg.__path__ = [os.path.join(REF, "leaf_pytorch")]
+    sys.modules["leaf_pytorch"] = pkg
+    for m in ["utils", "impulse_responses", "filters", "initializers",
+              "convolution", "pooling", "postprocessing", "frontend"]:
+        spec = importlib.util.spec_from_file_location(
+            f"leaf_pytorch.{m}", f"{REF}/leaf_pytorch/{m}.py")
+        mod = importlib.util.module_from_spec(spec)
+        sys.modules[f"leaf_pytorch.{m}"] = mod
+        spec.loader.exec_module(mod)
+    return sys.modules["leaf_pytorch.frontend"].Leaf
+
+
+class TestTorchCrossValidation:
+    def test_full_frontend_output_parity(self):
+        from leaf_tpu.frontend import Leaf
+
+        RefLeaf = _load_reference_leaf()
+        rng = np.random.RandomState(0)
+        wav = rng.randn(3, 16000).astype(np.float32) * 0.1
+
+        # our frontend, mel init
+        ours = Leaf(use_fused_kernel="off")
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+        mu_sigma = np.asarray(params["params"]["complex_conv"]["kernel"])
+        lp_w = np.asarray(params["params"]["pooling"]["weights"])
+        lp_b = np.asarray(params["params"]["pooling"]["bias"])
+        al = np.asarray(params["params"]["compression"]["alpha"])
+        de = np.asarray(params["params"]["compression"]["delta"])
+        ro = np.asarray(params["params"]["compression"]["root"])
+        sm = np.asarray(params["params"]["compression"]["ema"]["weights"])
+
+        # reference frontend (complex64 path works on CPU), same params
+        ref = RefLeaf(use_legacy_complex=False)
+        with torch.no_grad():
+            ref._complex_conv._kernel.copy_(torch.from_numpy(mu_sigma))
+            ref._pooling.weights.copy_(
+                torch.from_numpy(lp_w.reshape(1, 1, -1, 1)))
+            ref._pooling._bias.copy_(torch.from_numpy(lp_b))
+            ref._compression.alpha.copy_(torch.from_numpy(al))
+            ref._compression.delta.copy_(torch.from_numpy(de))
+            ref._compression.root.copy_(torch.from_numpy(ro))
+            ref._compression.ema._weights.copy_(torch.from_numpy(sm))
+        ref.eval()
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(wav).unsqueeze(1))  # (B, F, T')
+        ref_np = ref_out.numpy().transpose(0, 2, 1)  # → (B, T', F)
+
+        our_out = np.asarray(ours.apply(params, jnp.asarray(wav)))
+        assert our_out.shape == ref_np.shape, (our_out.shape, ref_np.shape)
+        # PCEN outputs are O(0.01–2); demand ≤1e-4 absolute agreement
+        # (BASELINE.md parity bar) against the genuine torch reference.
+        diff = np.abs(our_out - ref_np)
+        assert diff.max() < 1e-4, f"max abs diff {diff.max()}"
+
+    def test_mel_init_values_shape(self):
+        # our mel init produces the documented (F, 2) μ∈[0,π], σ>0 layout
+        from leaf_tpu.frontend import Leaf
+        ours = Leaf()
+        p = ours.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+        k = np.asarray(p["params"]["complex_conv"]["kernel"])
+        assert k.shape == (40, 2)
+        assert (k[:, 0] >= 0).all() and (k[:, 0] <= np.pi).all()
+        assert (k[:, 1] > 0).all()

@@ -325,3 +325,15 @@ class TestCheckpoint:
             np.asarray(jax.tree_util.tree_leaves(restored.params)[0]),
             np.asarray(jax.tree_util.tree_leaves(state.params)[0]))
         assert load_hparams(str(tmp_path))["model"]["arch"] == "cifar_resnet"
+
+
+class TestLatestCheckpoint:
+    def test_latest_resolution(self, tmp_path):
+        from leaf_tpu.training.checkpoint import (latest_checkpoint,
+                                                  save_checkpoint)
+        assert latest_checkpoint(str(tmp_path)) is None
+        state, _ = _tiny_classifier_state()
+        save_checkpoint(str(tmp_path), state, 0, 1.0, 0.1, 0.2)
+        save_checkpoint(str(tmp_path), state, 3, 0.5, 0.5, 0.6)
+        save_checkpoint(str(tmp_path), state, 1, 0.8, 0.3, 0.9)
+        assert latest_checkpoint(str(tmp_path)).endswith("epoch_003")

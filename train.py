@@ -31,6 +31,14 @@ def parse_args():
     p.add_argument("--expdir", type=str, required=True)
     p.add_argument("--epochs", type=int, default=100)
     p.add_argument("--num_workers", type=int, default=4)
+    p.add_argument("--host_aug", action="store_true",
+                   help="run ALL augments on the host "
+                        "(leaf_supervised_transforms) instead of the "
+                        "default host-crop + on-device augment split")
+    p.add_argument("--high_aug", action="store_true",
+                   help="use the heavier get_raw_transforms_v2 pipeline "
+                        "(background-noise SNR mixing + time masking) "
+                        "instead of leaf_supervised_transforms")
     p.add_argument("--use_packed_dataset", action="store_true")
     p.add_argument("--cropped_read", action="store_true")
     p.add_argument("--gcs_bucket_name", type=str, default=None)
@@ -101,8 +109,25 @@ def train(args):
     logger.print(f"devices: {n_dev} | processes: {world} | mode: {mode}")
 
     # ------------------------------------------------------------- data
-    tr_tfs = leaf_supervised_transforms(True, tr_clip, sr)
-    val_tfs = leaf_supervised_transforms(False, val_clip, sr)
+    if args.high_aug:
+        # reference train_xla.py:135-139
+        from leaf_tpu.data import get_raw_transforms_v2
+        bg = cfg["data"].get("background_noise_dir")
+        tr_tfs = get_raw_transforms_v2(
+            True, tr_clip, sample_rate=sr,
+            min_duration=float(ac.get("min_duration", 1)),
+            background_noise_path=bg)
+        val_tfs = get_raw_transforms_v2(False, val_clip, sample_rate=sr,
+                                        center_crop_val=True)
+    elif args.host_aug:
+        tr_tfs = leaf_supervised_transforms(True, tr_clip, sr)
+        val_tfs = leaf_supervised_transforms(False, val_clip, sr)
+    else:
+        # default: crop on host, elementwise augments on device — same
+        # distribution as leaf_supervised_transforms at ~10× host throughput
+        from leaf_tpu.data.transforms import leaf_host_crop_transforms
+        tr_tfs = leaf_host_crop_transforms(True, tr_clip)
+        val_tfs = leaf_host_crop_transforms(False, val_clip)
     ds_cls = PackedDataset if args.use_packed_dataset else RawWaveformDataset
     extra = ({"gcs_bucket_path": args.gcs_bucket_name}
              if args.use_packed_dataset else {})
@@ -141,6 +166,13 @@ def train(args):
 
     start_epoch = 0
     if args.continue_from_ckpt:
+        if args.continue_from_ckpt == "latest":
+            # auto-resume after preemption
+            from leaf_tpu.training.checkpoint import latest_checkpoint
+            args.continue_from_ckpt = latest_checkpoint(args.expdir)
+            if args.continue_from_ckpt is None:
+                logger.print("no checkpoint to resume; starting fresh")
+    if args.continue_from_ckpt:
         state, meta = load_checkpoint(args.continue_from_ckpt, state)
         start_epoch = int(meta.get("epoch", -1)) + 1
         if plateau is not None and "scheduler" in meta:
@@ -156,8 +188,17 @@ def train(args):
             opt_state=jax.tree_util.tree_map(
                 lambda x: x, state.opt_state))
 
+        if args.high_aug or args.host_aug:
+            tr_augment = None
+            val_needs_norm = False
+        else:
+            from leaf_tpu.data.device_augment import (leaf_device_augment,
+                                                      peak_normalize)
+            tr_augment = leaf_device_augment
+            val_needs_norm = True
         train_step = make_train_step(
-            mode, mixup_alpha=1.0 if use_mixup else None)
+            mode, mixup_alpha=1.0 if use_mixup else None,
+            augment_fn=tr_augment)
         eval_step = make_eval_step(mode)
         step_rng = jax.random.PRNGKey(args.random_seed + 1)
 
@@ -198,6 +239,9 @@ def train(args):
             for x, y in val_loader:
                 xb = shard_batch(mesh, jnp.asarray(x))
                 yb = shard_batch(mesh, jnp.asarray(y))
+                if val_needs_norm:
+                    # the split pipeline's val PeakNormalization, on device
+                    xb = peak_normalize(xb)
                 m = eval_step(state, xb, yb)
                 v_loss += float(m["loss"])
                 v_correct += int(m["correct"])
