@@ -36,6 +36,10 @@ def get_classifier(opt: dict) -> nn.Module:
     """
     num_classes = opt["num_classes"]
     arch = opt["arch"]
+    import jax.numpy as jnp
+    dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
+        opt.get("compute_dtype", "float32")]
+    kw = {"dtype": dtype} if dtype != jnp.float32 else {}
 
     if "densenet" in arch:
         depth = opt["model_depth"]
@@ -44,7 +48,7 @@ def get_classifier(opt: dict) -> nn.Module:
         if depth not in factories:
             raise ValueError(
                 f"Invalid value {depth} of depth for densenet arch")
-        return factories[depth](num_classes=num_classes)
+        return factories[depth](num_classes=num_classes, **kw)
     if arch == "resnet":
         depth = opt["model_depth"]
         pool = opt.get("pool", "avgpool")
@@ -55,8 +59,8 @@ def get_classifier(opt: dict) -> nn.Module:
             raise ValueError(
                 f"Invalid value {depth} of depth for resnet arch")
         if depth in (18, 34, 50):
-            return factories[depth](num_classes=num_classes, pool=pool)
-        return factories[depth](num_classes=num_classes)
+            return factories[depth](num_classes=num_classes, pool=pool, **kw)
+        return factories[depth](num_classes=num_classes, **kw)
     if arch == "cifar_resnet":
         depth = opt["model_depth"]
         factories = {20: cifar_resnet.resnet20, 32: cifar_resnet.resnet32,
@@ -66,11 +70,11 @@ def get_classifier(opt: dict) -> nn.Module:
         if depth not in factories:
             raise ValueError(
                 f"Invalid value {depth} of depth for cifar_resnet arch")
-        return factories[depth](num_classes=num_classes)
+        return factories[depth](num_classes=num_classes, **kw)
     if arch == "efficientnet":
         variant = opt["model_depth"]  # e.g. 'b0'
         return EfficientNet(model_name=f"efficientnet-{variant}",
-                            num_classes=num_classes)
+                            num_classes=num_classes, **kw)
     raise ValueError(f"Unsupported value {arch} for opt['arch']")
 
 

@@ -60,10 +60,13 @@ _SLAB = 528                  # _POS_BLOCK + 400, lane-aligned
 _FRAMES_PER_BLOCK = 4        # ceil((128 + 401) / 160) + boundary slack
 # Window tap-axis padding margin: slot offsets range over
 # off = 128m − stride·fr + pad_l for the 4 candidate frames of a block —
-# empirically within [−(3·stride − pad_l + 128), pad_l + 2·stride) ⊂
-# [−384, 384) for LEAF geometry. 384 is divisible by 8, so (off+384)·16
-# stays 128-lane aligned.
-_WMARGIN = 384
+# within [−280, 360] for LEAF geometry (asserted in tests). Margin choice:
+# off ≡ 8 (mod 16) ALWAYS (128m ≡ 0, 160fr ≡ 0, 200 ≡ 8 mod 16), so a
+# margin ≡ 8 (mod 16) makes (off + margin) a multiple of 16 — then the
+# flat lane offset (off+margin)·P is 128-aligned for BOTH P=16 (forward
+# groups) and P=8 (backward groups, which need small P to fit their f32
+# dT accumulators in VMEM at full 128-row MXU batch tiles).
+_WMARGIN = 392
 _WPAD = _WMARGIN + _SLAB + _WMARGIN  # padded window length (taps axis)
 
 
@@ -264,14 +267,15 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
     dtim_ref[:] += jnp.dot(xt, d_im, preferred_element_type=jnp.float32)
 
 
+_BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
+
+
 def _run_bwd_group(xs, bank_re, bank_im, windows_g, d_pad_g, t_len, stride,
                    pad_l, n_frames, interpret):
     m_blocks, b, _ = xs.shape
     k = bank_re.shape[0]
     n_pairs = bank_re.shape[1]
-    # 64-row batch tiles keep the two f32 dT accumulators + everything else
-    # under the 16 MB VMEM budget
-    bt = b if b <= 64 else 64
+    bt = b if b <= 128 else 128
 
     t_re = _toeplitz_weights(bank_re, xs.dtype)
     t_im = _toeplitz_weights(bank_im, xs.dtype)
@@ -410,13 +414,13 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
 
     d_res, d_ims, d_wins = [], [], []
     for b_re, b_im, win_g, (g0, g1) in _split_pairs(gabor, windows,
-                                                    _PAIR_GROUP):
+                                                    _BWD_PAIR_GROUP):
         d_g = d_out[:, :, g0:g1]
-        if g1 - g0 < _PAIR_GROUP:
+        if g1 - g0 < _BWD_PAIR_GROUP:
             d_g = jnp.pad(d_g, ((0, 0), (0, 0),
-                                (0, _PAIR_GROUP - (g1 - g0))))
+                                (0, _BWD_PAIR_GROUP - (g1 - g0))))
         d_pad = d_g[:, jnp.asarray(fr_safe.reshape(-1)), :].reshape(
-            d_out.shape[0], m_blocks, _FRAMES_PER_BLOCK, _PAIR_GROUP)
+            d_out.shape[0], m_blocks, _FRAMES_PER_BLOCK, _BWD_PAIR_GROUP)
         d_pad = jnp.where(mask, d_pad, 0.0)
         dr, di, dw = _run_bwd_group(xs, b_re, b_im, win_g, d_pad, t, stride,
                                     pad[0], n_frames, interpret)

@@ -80,8 +80,10 @@ def train(args):
     np.random.seed(args.random_seed)
     cfg = get_config(args.cfg_file)
     if args.bf16:
-        # frontend compute in bfloat16 (f32 params/accumulation/PCEN)
+        # frontend + backbone compute in bfloat16 (f32 params/PCEN/
+        # contraction accumulators)
         cfg["frontend"]["compute_dtype"] = "bfloat16"
+        cfg["model"]["compute_dtype"] = "bfloat16"
     mode = cfg["model"]["type"]
     multiclass = mode == "multiclass"
     ac = cfg["audio_config"]
