@@ -143,6 +143,34 @@ def load_hparams(exp_dir: str) -> dict:
         return json.load(f)
 
 
+def load_converted_frontend(npz_dir: str, params):
+    """Load a torch-converted LEAF frontend (see
+    scripts/convert_torch_checkpoint.py) into the ``features`` subtree of a
+    Classifier param dict (or directly into Leaf params)."""
+    import numpy as np
+    flat = dict(np.load(os.path.join(npz_dir, "frontend_params.npz")))
+    target = dict(params["features"]) if "features" in params else dict(params)
+
+    def set_path(tree, path, value):
+        tree = dict(tree)
+        head, *rest = path
+        if rest:
+            tree[head] = set_path(tree[head], rest, value)
+        else:
+            assert np.asarray(tree[head]).shape == value.shape, \
+                (path, np.asarray(tree[head]).shape, value.shape)
+            tree[head] = value
+        return tree
+
+    for key, value in flat.items():
+        target = set_path(target, key.split("/"), value)
+    new = dict(params)
+    if "features" in params:
+        new["features"] = target
+        return new
+    return target
+
+
 def load_pretrained_frontend(path: str, params):
     """Swap in pretrained LEAF frontend params (reference README.md:94-114:
     extract ``model.features``; here the frontend subtree is

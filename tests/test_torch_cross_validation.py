@@ -110,3 +110,42 @@ class TestTorchCrossValidation:
         assert k.shape == (40, 2)
         assert (k[:, 0] >= 0).all() and (k[:, 0] <= np.pi).all()
         assert (k[:, 1] > 0).all()
+
+
+class TestCheckpointConversion:
+    def test_torch_frontend_roundtrip(self, tmp_path):
+        """Save a reference torch Leaf checkpoint, convert it, load it into
+        our Leaf, and demand output parity with the torch model."""
+        import subprocess
+        from leaf_tpu.frontend import Leaf
+        from leaf_tpu.training.checkpoint import load_converted_frontend
+
+        RefLeaf = _load_reference_leaf()
+        ref = RefLeaf(use_legacy_complex=False)
+        # make params non-default so the test is meaningful
+        with torch.no_grad():
+            ref._compression.alpha.mul_(0.9)
+            ref._pooling.weights.add_(0.05)
+        ckpt_path = str(tmp_path / "ref.pth")
+        torch.save({"model": {f"features.{k}": v for k, v in
+                              ref.state_dict().items()}}, ckpt_path)
+
+        out_dir = str(tmp_path / "converted")
+        subprocess.run(
+            [sys.executable, "scripts/convert_torch_checkpoint.py",
+             ckpt_path, out_dir],
+            check=True, cwd="/root/repo")
+
+        ours = Leaf(use_fused_kernel="off")
+        rng = np.random.RandomState(3)
+        wav = rng.randn(2, 16000).astype(np.float32) * 0.1
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+        loaded = dict(params)
+        loaded["params"] = load_converted_frontend(out_dir, params["params"])
+
+        ref.eval()
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(wav).unsqueeze(1))
+        ref_np = ref_out.numpy().transpose(0, 2, 1)
+        our_out = np.asarray(ours.apply(loaded, jnp.asarray(wav)))
+        assert np.abs(our_out - ref_np).max() < 1e-4

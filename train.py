@@ -57,6 +57,10 @@ def parse_args():
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu) before first use")
+    p.add_argument("--multihost", action="store_true",
+                   help="call jax.distributed.initialize() for multi-host "
+                        "slices (coordinator from TPU env vars); each host "
+                        "then loads its manifest shard via process_index")
     return p.parse_args()
 
 
@@ -65,6 +69,8 @@ def train(args):
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    if args.multihost:
+        jax.distributed.initialize()
     import jax.numpy as jnp
 
     from leaf_tpu.data import (RawWaveformDataset, PackedDataset,
