@@ -26,10 +26,14 @@ except ImportError:  # environment without libsndfile
     _sf = None
     HAS_SOUNDFILE = False
 
+if not HAS_SOUNDFILE:
+    # import once at module load — scipy.io's first import costs ~0.6 s,
+    # which must not land inside the first load_audio call of every worker
+    from scipy.io import wavfile as _scipy_wavfile
+
 
 def _read_wav_scipy(f, frames: int = -1, start: int = 0):
-    from scipy.io import wavfile
-    sr, data = wavfile.read(f)
+    sr, data = _scipy_wavfile.read(f)
     if data.dtype == np.int16:
         data = data.astype(np.float32) / 32768.0
     elif data.dtype == np.int32:

@@ -165,6 +165,7 @@ class DataLoader:
         done = threading.Event()
 
         errors = []
+        ready = threading.Condition(results_lock)
 
         def worker():
             while not done.is_set():
@@ -176,12 +177,14 @@ class DataLoader:
                     items = [self.dataset[i] for i in chunk]
                     batch = self.collate_fn(items)
                 except Exception as exc:  # surface in the main thread
-                    with results_lock:
+                    with ready:
                         errors.append(exc)
+                        ready.notify_all()
                     done.set()
                     return
-                with results_lock:
+                with ready:
                     results[seq] = batch
+                    ready.notify_all()
 
         threads = [threading.Thread(target=worker, daemon=True)
                    for _ in range(self.num_workers)]
@@ -190,15 +193,13 @@ class DataLoader:
 
         try:
             delivered = 0
-            import time
             while delivered < n_batches:
-                with results_lock:
+                with ready:
+                    while next_seq[0] not in results and not errors:
+                        ready.wait(timeout=1.0)
                     if errors:
                         raise errors[0]
-                    batch = results.pop(next_seq[0], None)
-                if batch is None:
-                    time.sleep(0.001)
-                    continue
+                    batch = results.pop(next_seq[0])
                 next_seq[0] += 1
                 delivered += 1
                 yield batch
