@@ -30,9 +30,11 @@ def get_frontend(opt: dict) -> Leaf:
     import jax.numpy as jnp
     compute_dtype = {"float32": jnp.float32, "bfloat16": jnp.bfloat16}[
         front_end_config.get("compute_dtype", "float32")]
+    use_fused = front_end_config.get("use_fused_kernel", "auto")
     if default_args:
         fe = Leaf(use_legacy_complex=use_legacy_complex,
-                  initializer=initializer, compute_dtype=compute_dtype)
+                  initializer=initializer, compute_dtype=compute_dtype,
+                  use_fused_kernel=use_fused)
     else:
         fe = Leaf(
             n_filters=int(front_end_config.get("n_filters", 40.0)),
@@ -47,6 +49,7 @@ def get_frontend(opt: dict) -> Leaf:
             use_legacy_complex=use_legacy_complex,
             initializer=initializer,
             compute_dtype=compute_dtype,
+            use_fused_kernel=use_fused,
         )
     return fe
 
