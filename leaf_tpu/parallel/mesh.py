@@ -53,8 +53,17 @@ def replicated_sharding(mesh: Mesh) -> NamedSharding:
 
 def shard_batch(mesh: Mesh, batch):
     """Place every array in a batch PyTree with its leading axis sharded
-    over the 'data' mesh axis."""
+    over the 'data' mesh axis.
+
+    Single-process: a plain device_put. Multi-host: each process holds its
+    LOCAL manifest shard (see ShardedSampler), so the global array is
+    assembled with ``make_array_from_process_local_data`` — the JAX
+    equivalent of the reference's per-ordinal DistributedSampler feed."""
     sharding = batch_sharding(mesh)
+    if jax.process_count() > 1:
+        return jax.tree_util.tree_map(
+            lambda x: jax.make_array_from_process_local_data(
+                sharding, np.asarray(x)), batch)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, sharding), batch)
 

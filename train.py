@@ -189,12 +189,10 @@ def train(args):
                      f"at epoch {start_epoch}")
 
     with mesh:
-        state = jax.device_put(state, None)  # let jit place; params replicate
         state = state.replace(
             params=shard_params(mesh, state.params),
             batch_stats=shard_params(mesh, state.batch_stats),
-            opt_state=jax.tree_util.tree_map(
-                lambda x: x, state.opt_state))
+            opt_state=shard_params(mesh, state.opt_state))
 
         if args.high_aug or args.host_aug:
             tr_augment = None
