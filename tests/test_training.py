@@ -337,3 +337,36 @@ class TestLatestCheckpoint:
         save_checkpoint(str(tmp_path), state, 3, 0.5, 0.5, 0.6)
         save_checkpoint(str(tmp_path), state, 1, 0.8, 0.3, 0.9)
         assert latest_checkpoint(str(tmp_path)).endswith("epoch_003")
+
+
+class TestPretrainedBackbone:
+    def test_backbone_surgery_keeps_fresh_head(self, tmp_path):
+        """load_pretrained_backbone ≙ the reference's fc-swap surgery
+        (model_helper.py:78-94): backbone weights transfer, head stays."""
+        from leaf_tpu.training.checkpoint import (load_pretrained_backbone,
+                                                  save_checkpoint)
+        state, _ = _tiny_classifier_state(num_classes=5)
+        save_checkpoint(str(tmp_path), state, 0, 1.0, 0.5, 0.5)
+
+        fresh, _ = _tiny_classifier_state(num_classes=7)
+        new_params = load_pretrained_backbone(
+            str(tmp_path) + "/epoch_000", fresh.params)
+        # backbone conv transferred from the checkpoint
+        np.testing.assert_allclose(
+            np.asarray(new_params["model"]["conv1"]["kernel"]),
+            np.asarray(state.params["model"]["conv1"]["kernel"]))
+        # head kept at the fresh 7-class shape
+        assert new_params["model"]["linear"]["kernel"].shape[-1] == 7
+
+
+class TestEmaPathSwitch:
+    def test_long_sequences_use_scan_and_agree(self):
+        from leaf_tpu.frontend.postprocessing import (_EMA_MATMUL_MAX_T,
+                                                      ema_matmul, ema_scan)
+        rng = np.random.RandomState(0)
+        t = _EMA_MATMUL_MAX_T + 44  # beyond the matmul regime
+        x = jnp.asarray(rng.rand(2, t, 8).astype("float32"))
+        w = jnp.asarray(rng.rand(8).astype("float32") * 0.3)
+        a = np.asarray(ema_scan(x, w))
+        b = np.asarray(ema_matmul(x, w))  # O(T²) but still exact
+        np.testing.assert_allclose(a, b, atol=2e-5)
