@@ -81,7 +81,8 @@ class RawWaveformDataset(_AudioConfigMixin):
                  mode: str = "multilabel", delimiter: str = ",",
                  mixer: Optional[Callable] = None,
                  transform: Optional[Callable] = None,
-                 is_val: bool = False, cropped_read: bool = False):
+                 is_val: bool = False, cropped_read: bool = False,
+                 in_memory: bool = False):
         import pandas as pd
         assert audio_config is not None
         self.mode = mode
@@ -97,6 +98,12 @@ class RawWaveformDataset(_AudioConfigMixin):
         self.durations = (df["durations"].values.tolist()
                           if cropped_read else None)
         self.length = len(self.files)
+        # data.in_memory (the reference carries the flag through its config,
+        # config_parser.py:19-25, but never uses it — implemented here):
+        # cache decoded waveforms after first read. Incompatible with
+        # cropped reads (those decode a random slice per access).
+        self.in_memory = bool(in_memory) and not cropped_read
+        self._cache: dict = {}
 
     def __len__(self) -> int:
         return self.length
@@ -104,9 +111,22 @@ class RawWaveformDataset(_AudioConfigMixin):
     def __getitem__(self, index: int):
         dur = (self.durations[index]
                if self.cropped_read and not self.is_val else None)
+        if self.in_memory and index in self._cache:
+            audio = self._cache[index]
+            label = parse_labels(self.labels[index], self.labels_map,
+                                 self.mode, self.labels_delim)
+            if self.transform is not None:
+                audio = self.transform(audio)
+            if self.mixer is not None:
+                audio, final_label = self.mixer(self, audio, label)
+                if self.mode != "multiclass":
+                    label = final_label
+            return audio, label
         audio = load_audio(self.files[index], self.sr, self.min_duration,
                            read_cropped=self.cropped_read and not self.is_val,
                            frames_to_read=self.num_frames, audio_size=dur)
+        if self.in_memory:
+            self._cache[index] = audio
         if self.normalize:
             audio = normalize_waveform(audio)
         label = parse_labels(self.labels[index], self.labels_map, self.mode,

@@ -356,3 +356,26 @@ class TestDeviceAugment:
         for x in (short, long):
             assert tr(x).shape == (SR,)
             assert va(x).shape == (SR,)
+
+
+class TestInMemoryCache:
+    def test_in_memory_caches_and_matches(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "min_duration": 1}
+        plain = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass")
+        cached = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                    in_memory=True)
+        for i in (0, 3, 0):  # second access to 0 comes from cache
+            a, la = plain[i]
+            b, lb = cached[i]
+            np.testing.assert_allclose(a, b)
+            assert la == lb
+        assert 0 in cached._cache and 3 in cached._cache
+
+    def test_in_memory_disabled_for_cropped_reads(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ds = RawWaveformDataset(
+            manifest, lbl_map,
+            {"sample_rate": SR, "min_duration": 1, "random_clip_size": 1},
+            mode="multiclass", cropped_read=True, in_memory=True)
+        assert ds.in_memory is False

@@ -137,8 +137,10 @@ def train(args):
         tr_tfs = leaf_host_crop_transforms(True, tr_clip)
         val_tfs = leaf_host_crop_transforms(False, val_clip)
     ds_cls = PackedDataset if args.use_packed_dataset else RawWaveformDataset
-    extra = ({"gcs_bucket_path": args.gcs_bucket_name}
-             if args.use_packed_dataset else {})
+    if args.use_packed_dataset:
+        extra = {"gcs_bucket_path": args.gcs_bucket_name}
+    else:
+        extra = {"in_memory": bool(cfg["data"].get("in_memory", False))}
     train_set = ds_cls(cfg["data"]["train"], cfg["data"]["labels"], ac,
                        mode=mode, delimiter=args.labels_delimiter,
                        transform=tr_tfs, cropped_read=args.cropped_read,
