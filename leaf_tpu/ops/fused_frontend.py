@@ -33,7 +33,9 @@ sums. The waveform gradient is NOT produced (the frontend input is the raw
 waveform; with a preceding preemphasis layer use the XLA path instead).
 
 Channel grouping bounds VMEM: the forward runs the F=40 pairs in groups of
-20, the backward in groups of 10 (the dT accumulators are f32 528·128·P).
+16, the backward in groups of 8 (its f32 dT accumulators are 528·128·P) —
+both at full 128-row MXU batch tiles thanks to the mod-16 offset alignment
+described at ``_WMARGIN``.
 
 Capability parity: this op computes exactly
 GaussianLowPass(SquaredModulus(GaborConv1d(x))) of the reference
