@@ -108,12 +108,12 @@ class Leaf(nn.Module):
         b = x.shape[0]
         tileable = b <= 128 or b % 128 == 0
         applicable = (not self.preemp and self.window_size == 401
-                      and tileable)
+                      and self.stride == 160 and tileable)
         if self.use_fused_kernel == "on":
             if not applicable:
                 raise ValueError(
                     "use_fused_kernel='on' requires preemp=False, "
-                    "window_size=401 and a 128-tileable batch")
+                    "window_size=401, stride=160 and a 128-tileable batch")
             return True
         import jax
         return applicable and jax.default_backend() == "tpu"

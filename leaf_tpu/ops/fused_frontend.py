@@ -385,9 +385,20 @@ def fused_gabor_sqmod_lowpass(x, gabor, windows, stride: int = 160,
     return out
 
 
+def _check_geometry(gabor, stride, pad):
+    # The slot count (_FRAMES_PER_BLOCK), window margins (_WMARGIN) and the
+    # mod-16 lane-alignment proof are all derived for the LEAF default
+    # geometry; any other hop/padding must use the XLA path (Leaf gates on
+    # this automatically via _fused_applicable).
+    if gabor.shape[0] != _KMAX or stride != 160 or tuple(pad) != (200, 200):
+        raise ValueError(
+            "fused_gabor_sqmod_lowpass is specialized to K=401 taps, "
+            f"stride=160, pad=(200,200); got K={gabor.shape[0]}, "
+            f"stride={stride}, pad={tuple(pad)}")
+
+
 def _fused_fwd(x, gabor, windows, stride, pad, interpret):
-    assert gabor.shape[0] == _KMAX, \
-        f"fused kernel is specialized to K={_KMAX} taps"
+    _check_geometry(gabor, stride, pad)
     xs, t, m_blocks = _prep(x, pad)
     n_frames = lowpass_frames_out(t, stride, gabor.shape[0], pad)
     f = gabor.shape[1] // 2

@@ -145,3 +145,28 @@ class TestLeafIntegration:
         m = Leaf(use_fused_kernel="on", preemp=True)
         with pytest.raises(ValueError):
             m.init(jax.random.PRNGKey(0), x)
+
+
+class TestGeometryGuards:
+    def test_non_default_stride_rejected(self, inputs):
+        x, gabor, windows = inputs
+        with pytest.raises(ValueError, match="specialized"):
+            fused_gabor_sqmod_lowpass(x, gabor, windows, 128, (200, 200),
+                                      True)
+
+    def test_non_default_pad_rejected(self, inputs):
+        x, gabor, windows = inputs
+        with pytest.raises(ValueError, match="specialized"):
+            fused_gabor_sqmod_lowpass(x, gabor, windows, 160, (100, 100),
+                                      True)
+
+    def test_leaf_nondefault_stride_uses_xla_path(self):
+        # 8 ms hop → stride 128 → auto must fall back to XLA (and 'on' must
+        # raise) rather than silently producing wrong frames
+        m = Leaf(window_stride=8.0, use_fused_kernel="on")
+        with pytest.raises(ValueError):
+            m.init(jax.random.PRNGKey(0), jnp.zeros((2, 16000)))
+        m_auto = Leaf(window_stride=8.0)  # auto: XLA path works
+        p = m_auto.init(jax.random.PRNGKey(0), jnp.zeros((2, 16000)))
+        out = m_auto.apply(p, jnp.zeros((2, 16000)))
+        assert out.shape[1] == 125  # 16000/128 frames
