@@ -9,14 +9,15 @@ ICLR 2021, plus a CNN classifier zoo and training stack), designed TPU-first:
   (the reference unrolls a Python loop per frame,
   reference: leaf_pytorch/postprocessing.py:17-28)
 - Pallas TPU kernels for the hot frontend ops (``leaf_tpu.ops``)
-- data/tensor parallelism via ``jax.sharding.Mesh`` + NamedSharding
-  (``leaf_tpu.parallel``), not per-process torch-xla spawns
+- data parallelism via ``jax.sharding.Mesh`` + NamedSharding (GSPMD) or an
+  explicit ``shard_map`` step (``leaf_tpu.parallel``), not per-process
+  torch-xla spawns
 
 Canonical array layout is channels-last (B, T, C) — the TPU-friendly layout —
 whereas the reference uses (B, C, T). Conversions happen only at API
 boundaries.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.2.0"
 
 from leaf_tpu.frontend import Leaf, get_frontend  # noqa: F401
