@@ -207,6 +207,20 @@ class DataLoader:
             done.set()
 
 
+def make_packed_collate(target_len: Optional[int], multiclass: bool):
+    """Collate for PackedDataset items — each item is a whole shard
+    (waves_list, labels_list); deflate shards into one flat batch
+    (reference: packed_collate_fn_raw_*, packed_dataset.py:163-176)."""
+    from leaf_tpu.data.dataset import deflate_packed_batch
+
+    def collate(items):
+        waves, labels = deflate_packed_batch(items)
+        return collate_fixed(list(zip(waves, labels)), target_len,
+                             multiclass)
+
+    return collate
+
+
 def setup_dataloaders(train_set, val_set, batch_size: int,
                       device_world_size: int = 1, local_rank: int = 0,
                       target_len: Optional[int] = None,
@@ -215,13 +229,21 @@ def setup_dataloaders(train_set, val_set, batch_size: int,
                       num_workers: int = 4,
                       multi_device_val: bool = False,
                       need_val: bool = True,
+                      packed: bool = False,
                       seed: int = 0) -> Tuple[DataLoader, Optional[DataLoader]]:
     """Reference training_utils.py:6-36 equivalent: shard train across
-    processes; shard val only if multi_device_val."""
+    processes; shard val only if multi_device_val. With ``packed=True``
+    batch_size counts SHARDS per batch (reference packed semantics) and
+    shards deflate into the flat batch."""
+    tr_collate = (make_packed_collate(target_len, multiclass)
+                  if packed else None)
+    val_collate = (make_packed_collate(val_target_len or target_len,
+                                       multiclass) if packed else None)
     train_sampler = ShardedSampler(len(train_set), device_world_size,
                                    local_rank, shuffle=True, seed=seed)
     train_loader = DataLoader(train_set, batch_size, sampler=train_sampler,
                               target_len=target_len, multiclass=multiclass,
+                              collate_fn=tr_collate,
                               num_workers=num_workers, drop_last=True)
     val_loader = None
     if need_val and val_set is not None:
@@ -233,5 +255,6 @@ def setup_dataloaders(train_set, val_set, batch_size: int,
         val_loader = DataLoader(val_set, batch_size, sampler=val_sampler,
                                 target_len=val_target_len or target_len,
                                 multiclass=multiclass,
+                                collate_fn=val_collate,
                                 num_workers=num_workers)
     return train_loader, val_loader

@@ -379,3 +379,38 @@ class TestInMemoryCache:
             {"sample_rate": SR, "min_duration": 1, "random_clip_size": 1},
             mode="multiclass", cropped_read=True, in_memory=True)
         assert ds.in_memory is False
+
+
+class TestPackedLoader:
+    def test_packed_dataset_through_setup_dataloaders(self, wav_dir,
+                                                      tmp_path):
+        """Regression: PackedDataset items are whole shards; the loader must
+        deflate them (packed=True), not treat them as (wave, label) pairs."""
+        import msgpack
+        import pandas as pd
+        root, manifest, lbl_map = wav_dir
+        files = pd.read_csv(manifest)["files"].tolist()
+        shard_paths = []
+        for s in range(3):
+            records = [{"audio": open(f, "rb").read(),
+                        "label": f"class{files.index(f) % 3}",
+                        "duration": SR}
+                       for f in files[s * 4:(s + 1) * 4]]
+            p = tmp_path / f"s{s}.msgpack"
+            p.write_bytes(msgpack.packb(records))
+            shard_paths.append(str(p))
+        pk = tmp_path / "packed.csv"
+        pd.DataFrame({"files": shard_paths}).to_csv(pk, index=False)
+
+        ds = PackedDataset(str(pk), lbl_map,
+                           audio_config={"sample_rate": SR,
+                                         "min_duration": 1},
+                           mode="multiclass",
+                           transform=leaf_supervised_transforms(True, SR, SR))
+        tl, vl = setup_dataloaders(ds, ds, batch_size=2, target_len=SR,
+                                   packed=True, num_workers=1)
+        batches = list(tl)
+        # 3 shards / 2 per batch, drop_last → 1 batch of 2 shards × 4 recs
+        assert len(batches) == 1
+        x, y = batches[0]
+        assert x.shape == (8, SR) and y.shape == (8,)

@@ -153,7 +153,8 @@ def train(args):
         device_world_size=world, local_rank=rank,
         target_len=tr_clip, val_target_len=val_clip,
         multiclass=multiclass, num_workers=args.num_workers,
-        multi_device_val=True, seed=args.random_seed)
+        multi_device_val=True, packed=args.use_packed_dataset,
+        seed=args.random_seed)
     steps_per_epoch = len(train_loader)
     logger.print(f"train batches/epoch: {steps_per_epoch} | "
                  f"val batches: {len(val_loader)}")
