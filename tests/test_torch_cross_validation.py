@@ -149,3 +149,43 @@ class TestCheckpointConversion:
         ref_np = ref_out.numpy().transpose(0, 2, 1)
         our_out = np.asarray(ours.apply(loaded, jnp.asarray(wav)))
         assert np.abs(our_out - ref_np).max() < 1e-4
+
+
+class TestNonDefaultGeometryParity:
+    def test_n_filters_64_three_second_clips(self):
+        """The audioset resnet cfg uses n_filters=64 (reference:
+        cfgs/audioset/resnet-18-leaf-default.cfg); verify full-output parity
+        vs the actual reference at that geometry with 3 s clips."""
+        from leaf_tpu.frontend import Leaf
+
+        RefLeaf = _load_reference_leaf()
+        rng = np.random.RandomState(5)
+        wav = rng.randn(2, 48000).astype(np.float32) * 0.1
+
+        ours = Leaf(n_filters=64, use_fused_kernel="off")
+        params = ours.init(jax.random.PRNGKey(0), jnp.asarray(wav))
+
+        ref = RefLeaf(n_filters=64, use_legacy_complex=False)
+        p = params["params"]
+        with torch.no_grad():
+            ref._complex_conv._kernel.copy_(
+                torch.from_numpy(np.asarray(p["complex_conv"]["kernel"])))
+            ref._pooling.weights.copy_(torch.from_numpy(
+                np.asarray(p["pooling"]["weights"]).reshape(1, 1, -1, 1)))
+            ref._pooling._bias.copy_(
+                torch.from_numpy(np.asarray(p["pooling"]["bias"])))
+            ref._compression.alpha.copy_(
+                torch.from_numpy(np.asarray(p["compression"]["alpha"])))
+            ref._compression.delta.copy_(
+                torch.from_numpy(np.asarray(p["compression"]["delta"])))
+            ref._compression.root.copy_(
+                torch.from_numpy(np.asarray(p["compression"]["root"])))
+            ref._compression.ema._weights.copy_(torch.from_numpy(
+                np.asarray(p["compression"]["ema"]["weights"])))
+        ref.eval()
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(wav).unsqueeze(1))
+        ref_np = ref_out.numpy().transpose(0, 2, 1)
+        our_out = np.asarray(ours.apply(params, jnp.asarray(wav)))
+        assert our_out.shape == ref_np.shape == (2, 300, 64)
+        assert np.abs(our_out - ref_np).max() < 2e-4
