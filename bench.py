@@ -54,7 +54,8 @@ def _timed_loop(step_fn, inputs, steps: int, warmup: int):
 
 
 def bench_ours(batch: int = BATCH, steps: int = STEPS,
-               warmup: int = WARMUP, frontend_only: bool = False):
+               warmup: int = WARMUP, frontend_only: bool = False,
+               inference_only: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -89,6 +90,16 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     model = Classifier(cfg=cfg)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, xs_list[0], train=False)
+
+    if inference_only:
+        @jax.jit
+        def infer(xx):
+            logits = model.apply(variables, xx, train=False)
+            return jnp.sum(logits)
+
+        dt = _timed_loop(infer, xs_list, steps, warmup)
+        return batch * steps / dt
+
     tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=100,
                                    num_epochs=100)
     state_holder = [TrainState.create(
@@ -197,6 +208,9 @@ def main():
     p.add_argument("--measure-torch-baseline", action="store_true",
                    help="measure the torch reference on CPU and record it")
     p.add_argument("--frontend-only", action="store_true")
+    p.add_argument("--inference", action="store_true",
+                   help="benchmark forward-only (serving) instead of the "
+                        "train step")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--steps", type=int, default=STEPS)
@@ -221,7 +235,8 @@ def main():
     platform = jax.devices()[0].platform
 
     rate = bench_ours(args.batch, args.steps,
-                      frontend_only=args.frontend_only)
+                      frontend_only=args.frontend_only,
+                      inference_only=args.inference)
 
     baseline = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -235,6 +250,7 @@ def main():
         # gets switching frameworks on this host".
         baseline = rec.get(key, rec.get("torch_cpu_train_clips_per_sec", 0.0))
     metric = ("leaf_frontend_fwdbwd_clips_per_sec" if args.frontend_only
+              else "inference_clips_per_sec" if args.inference
               else "train_step_clips_per_sec")
     print(json.dumps({
         "metric": f"{metric}_{platform}_bs{args.batch}",

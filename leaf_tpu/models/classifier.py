@@ -97,3 +97,9 @@ class Classifier(nn.Module):
         out = self.features(x)  # (B, frames, n_filters)
         out = jnp.swapaxes(out, 1, 2)[..., None]  # (B, n_filters, frames, 1)
         return self.model(out, train=train)
+
+    def features_only(self, x: jnp.ndarray) -> jnp.ndarray:
+        """LEAF features without the backbone — the reference's
+        ``model.features`` extraction flow (reference README.md:112-113).
+        Use via ``model.apply(variables, x, method="features_only")``."""
+        return self.features(x)

@@ -236,3 +236,20 @@ class TestClassifier:
             {"params": jax.random.PRNGKey(0)}, x, train=False)
         out = model.apply(variables, x, train=False)
         assert out.shape == (1, 35)
+
+
+class TestFeaturesOnly:
+    def test_features_extraction_method(self):
+        import jax
+        import jax.numpy as jnp
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": 16000},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 3},
+        }
+        model = Classifier(cfg=cfg)
+        x = jnp.zeros((2, 16000), jnp.float32)
+        v = model.init({"params": jax.random.PRNGKey(0)}, x, train=False)
+        feats = model.apply(v, x, method="features_only")
+        assert feats.shape == (2, 100, 40)
