@@ -370,3 +370,56 @@ class TestEmaPathSwitch:
         a = np.asarray(ema_scan(x, w))
         b = np.asarray(ema_matmul(x, w))  # O(T²) but still exact
         np.testing.assert_allclose(a, b, atol=2e-5)
+
+
+class TestBnRecalibration:
+    def test_recalibration_closes_eval_gap(self):
+        """After a few steps at high lr, eval accuracy lags train because BN
+        running stats trail the parameters; re-estimation must close the gap
+        (this is why EffNet shows chance-level eval on short runs — BN
+        momentum 0.99, reference utils.py:519-521)."""
+        from leaf_tpu.training.bn_recalibrate import recalibrate_batch_stats
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": 16000},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 5, "type": "multiclass"},
+            "opt": {"optimizer": "Adam", "lr": 2e-3, "weight_decay": 0.0,
+                    "scheduler": "step", "step_size": 1000, "gamma": 0.1,
+                    "batch_size": 4},
+        }
+        model = Classifier(cfg=cfg)
+        xx0 = jnp.zeros((4, 16000), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, xx0,
+                               train=False)
+        tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=100)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"], tx=tx)
+        step = make_train_step("multiclass", donate=False)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.array([0, 1, 2, 3])
+        for _ in range(120):
+            state, m = step(state, x, y, jax.random.PRNGKey(0))
+        # the model has memorized the batch in train mode
+        train_logits, _ = state.apply_fn(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            x, train=True, rngs={"dropout": jax.random.PRNGKey(2)},
+            mutable=["batch_stats"])
+        assert float((jnp.argmax(train_logits, 1) == y).mean()) == 1.0
+
+        recal = recalibrate_batch_stats(
+            state, [(np.asarray(x), np.asarray(y))] * 60,
+            jax.random.PRNGKey(7))
+        eval_after = recal.apply_fn(
+            {"params": recal.params, "batch_stats": recal.batch_stats},
+            x, train=False)
+        acc_after = float((jnp.argmax(eval_after, 1) == y).mean())
+        # with fully re-estimated stats on the SAME batch, eval-mode must
+        # reproduce the train-mode predictions
+        assert acc_after == 1.0, acc_after
+        # params untouched
+        for a, b in zip(jax.tree_util.tree_leaves(state.params),
+                        jax.tree_util.tree_leaves(recal.params)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
