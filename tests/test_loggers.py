@@ -1,0 +1,55 @@
+"""Observability tests: RateTracker, TrainLogger, profile_trace."""
+
+import os
+import time
+
+import pytest
+
+from leaf_tpu.training.loggers import RateTracker, TrainLogger, profile_trace
+
+
+class TestRateTracker:
+    def test_rates(self):
+        t = RateTracker()
+        t.add(100)
+        time.sleep(0.6)
+        t.add(100)
+        assert t.rate() > 0
+        assert 100 < t.global_rate() < 100000
+        t.reset()
+        assert t.global_rate() == 0 or t.global_rate() < 1e9
+
+
+class TestTrainLogger:
+    def test_master_only_writes(self, tmp_path, capsys):
+        lg = TrainLogger(str(tmp_path), is_master=True, use_tensorboard=True)
+        lg.print("hello")
+        lg.log_scalars({"train/loss": 1.0}, step=0)
+        lg.close()
+        assert "hello" in capsys.readouterr().out
+        assert os.path.isdir(tmp_path / "tb")
+
+    def test_non_master_silent(self, tmp_path, capsys):
+        lg = TrainLogger(str(tmp_path / "x"), is_master=False)
+        lg.print("nope")
+        lg.log_scalars({"a": 1.0}, step=0)
+        lg.close()
+        assert capsys.readouterr().out == ""
+        assert not os.path.exists(tmp_path / "x")
+
+
+class TestProfileTrace:
+    def test_trace_writes_files(self, tmp_path):
+        import jax
+        import jax.numpy as jnp
+        with profile_trace(str(tmp_path / "prof")):
+            x = jnp.ones((128, 128))
+            (x @ x).block_until_ready()
+        # jax profiler writes a plugins/profile dir
+        found = list((tmp_path / "prof").rglob("*")) \
+            if (tmp_path / "prof").exists() else []
+        assert found, "no profiler output written"
+
+    def test_none_logdir_noop(self):
+        with profile_trace(None):
+            pass

@@ -212,6 +212,18 @@ def train(args):
         step_rng = jax.random.PRNGKey(args.random_seed + 1)
 
         save_hparams(args.expdir, cfg)
+        if args.profile_dir:
+            # trace a handful of steady-state steps (jax.profiler) — the
+            # TPU-native replacement for torch-xla's debug metric dumps
+            from leaf_tpu.training.loggers import profile_trace
+            warm = [next(iter(train_loader)) for _ in range(1)]
+            xb = shard_batch(mesh, jnp.asarray(warm[0][0]))
+            yb = shard_batch(mesh, jnp.asarray(warm[0][1]))
+            state, _ = train_step(state, xb, yb, step_rng)  # compile
+            with profile_trace(args.profile_dir):
+                for _ in range(5):
+                    state, _ = train_step(state, xb, yb, step_rng)
+            logger.print(f"profiler trace written to {args.profile_dir}")
         best_val = -1.0
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
