@@ -98,21 +98,42 @@ def main(args):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            x, train=False)
 
-    all_preds, all_gts = [], []
+    # Bucket clips by window count so each unique shape compiles ONCE and
+    # clips batch together — the reference evaluates clip-by-clip at
+    # batch_size=1 (test.py:116), which on an accelerator retraces per
+    # length and starves the chip. Identical numbers, batched execution.
+    buckets = {}
     for i in range(len(test_set)):
         x, y = test_set[i]
         windows = pad_to_windows(np.asarray(x), sr)
-        logits = forward(state.params, state.batch_stats,
-                         jnp.asarray(windows))
-        mean_logits = jnp.mean(logits, axis=0)  # mean over 1 s windows
+        buckets.setdefault(windows.shape[0], []).append((windows, y, i))
+
+    n_done = 0
+    results = [None] * len(test_set)
+    max_clips_per_batch = 64
+    for n_windows, items in sorted(buckets.items()):
+        for start in range(0, len(items), max_clips_per_batch):
+            chunk = items[start:start + max_clips_per_batch]
+            stacked = jnp.asarray(np.stack([w for w, _, _ in chunk]))
+            b, nw = stacked.shape[:2]
+            logits = forward(state.params, state.batch_stats,
+                             stacked.reshape(b * nw, sr))
+            mean_logits = logits.reshape(b, nw, -1).mean(axis=1)
+            for (win, y, idx), ml in zip(chunk, np.asarray(mean_logits)):
+                results[idx] = (ml, y)
+            n_done += len(chunk)
+            if n_done % 512 < max_clips_per_batch:
+                print(f"{n_done}/{len(test_set)}")
+
+    all_preds, all_gts = [], []
+    for ml, y in results:
         if args.metrics == "multiclass":
-            all_preds.append(int(jnp.argmax(mean_logits)))
+            all_preds.append(int(np.argmax(ml)))
             all_gts.append(int(y))
         else:
-            all_preds.append(np.asarray(jax.nn.sigmoid(mean_logits))[None])
+            all_preds.append(
+                np.asarray(jax.nn.sigmoid(jnp.asarray(ml)))[None])
             all_gts.append(np.asarray(y, dtype=np.float32)[None])
-        if (i + 1) % 200 == 0:
-            print(f"{i + 1}/{len(test_set)}")
 
     if args.metrics == "multiclass":
         acc = float(np.mean(np.asarray(all_preds) == np.asarray(all_gts)))
