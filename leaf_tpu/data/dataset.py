@@ -125,10 +125,13 @@ class RawWaveformDataset(_AudioConfigMixin):
         audio = load_audio(self.files[index], self.sr, self.min_duration,
                            read_cropped=self.cropped_read and not self.is_val,
                            frames_to_read=self.num_frames, audio_size=dur)
-        if self.in_memory:
-            self._cache[index] = audio
         if self.normalize:
             audio = normalize_waveform(audio)
+        # Cache AFTER normalization so cache hits see the exact same
+        # waveform as the first epoch (normalization is deterministic;
+        # transforms/mixer stay per-access below).
+        if self.in_memory:
+            self._cache[index] = audio
         label = parse_labels(self.labels[index], self.labels_map, self.mode,
                              self.labels_delim)
         if self.transform is not None:

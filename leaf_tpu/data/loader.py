@@ -152,7 +152,6 @@ class DataLoader:
             yield chunk
 
     def __iter__(self):
-        batch_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch)
         index_batches = list(self._batches_of_indices())
         n_batches = len(index_batches)
         work_q: "queue.Queue" = queue.Queue()
@@ -166,9 +165,21 @@ class DataLoader:
 
         errors = []
         ready = threading.Condition(results_lock)
+        # Backpressure budget: workers pause while >= prefetch completed
+        # batches sit undelivered, so the host never decodes more than
+        # prefetch + num_workers batches ahead of the device (an unbounded
+        # `results` would buffer the whole epoch when the loader outruns
+        # the train step and OOM the host on large manifests).
+        budget = max(1, self.prefetch)
 
         def worker():
             while not done.is_set():
+                with ready:
+                    while (len(results) >= budget and not done.is_set()
+                           and not errors):
+                        ready.wait(timeout=0.1)
+                if done.is_set():
+                    return
                 try:
                     seq, chunk = work_q.get_nowait()
                 except queue.Empty:
@@ -200,11 +211,14 @@ class DataLoader:
                     if errors:
                         raise errors[0]
                     batch = results.pop(next_seq[0])
+                    ready.notify_all()  # wake workers paused on the budget
                 next_seq[0] += 1
                 delivered += 1
                 yield batch
         finally:
             done.set()
+            with ready:
+                ready.notify_all()
 
 
 def make_packed_collate(target_len: Optional[int], multiclass: bool):

@@ -54,10 +54,13 @@ def depthwise_strided_conv(x: jnp.ndarray, windows: jnp.ndarray,
     for j in range(j_blocks):
         wj = windows[:, j * h:min((j + 1) * h, k)]  # (C, rj)
         rj = wj.shape[1]
+        # f32 accumulation even under bf16 compute_dtype: each block partial
+        # and the cross-block sum stay f32 (frontend.py's bf16 contract).
         term = jnp.einsum("bfrc,cr->bfc", y[:, j:j + f, :rj, :],
-                          wj.astype(x.dtype))
+                          wj.astype(x.dtype),
+                          preferred_element_type=jnp.float32)
         out = term if out is None else out + term
-    return out.astype(jnp.float32)
+    return out
 
 
 class GaussianLowPass(nn.Module):

@@ -77,13 +77,14 @@ class ReduceLROnPlateau:
         self.best = -math.inf if self.mode == "max" else math.inf
 
     def _is_better(self, metric: float) -> bool:
-        # torch 'rel' threshold mode: max: metric > best·(1+eps);
-        # min: metric < best·(1−eps)
+        # torch 'rel' threshold mode, unconditionally (torch
+        # lr_scheduler.ReduceLROnPlateau.is_better): max: metric >
+        # best·(1+eps); min: metric < best·(1−eps). The ±inf init makes the
+        # first epoch always "better"; for negative bests the product flips
+        # the margin's sign exactly like torch does.
         if self.mode == "max":
-            return metric > self.best * (1.0 + self.threshold) \
-                if self.best > 0 else metric > self.best
-        return metric < self.best * (1.0 - self.threshold) \
-            if self.best > 0 else metric < self.best
+            return metric > self.best * (1.0 + self.threshold)
+        return metric < self.best * (1.0 - self.threshold)
 
     def step(self, metric: float) -> float:
         """Feed the epoch metric; returns the (possibly reduced) lr."""

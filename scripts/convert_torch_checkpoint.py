@@ -73,7 +73,14 @@ def main():
 
     raw = torch.load(args.torch_ckpt, map_location="cpu",
                      weights_only=False)
-    state_dict = raw.get("model", raw) if isinstance(raw, dict) else raw
+    # Reference training checkpoints store weights under "model_state_dict"
+    # (reference: train_xla.py:38-41); bare exports may use "state_dict" or
+    # "model", or be a raw state_dict / nn.Module.
+    if isinstance(raw, dict):
+        state_dict = (raw.get("model_state_dict") or raw.get("state_dict")
+                      or raw.get("model") or raw)
+    else:
+        state_dict = raw
     if hasattr(state_dict, "state_dict"):
         state_dict = state_dict.state_dict()
 

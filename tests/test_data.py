@@ -315,6 +315,36 @@ class TestLoaderRobustness:
         with pytest.raises(RuntimeError, match="corrupt sample"):
             list(dl)
 
+    def test_prefetch_backpressure_bounds_decoding(self):
+        """Regression: workers must not decode the whole epoch ahead of the
+        consumer — at most prefetch + num_workers batches may be in flight
+        while the consumer stalls (host-OOM guard on large manifests)."""
+        import time
+
+        class CountingDataset:
+            def __init__(self):
+                self.accesses = 0
+
+            def __len__(self):
+                return 256
+
+            def __getitem__(self, i):
+                self.accesses += 1
+                return np.ones(16, np.float32), 0
+
+        ds = CountingDataset()
+        prefetch, workers, bs = 2, 2, 4
+        dl = DataLoader(ds, batch_size=bs, shuffle=False, target_len=16,
+                        num_workers=workers, prefetch=prefetch)
+        it = iter(dl)
+        next(it)  # start the pipeline, deliver one batch
+        time.sleep(0.5)  # consumer stalls; workers must hit the budget
+        max_batches_started = prefetch + workers + 2  # +delivered, +in-flight
+        assert ds.accesses <= max_batches_started * bs, ds.accesses
+        batches = [next(it) for _ in range(len(dl) - 1)]  # drain the rest
+        assert len(batches) == 256 // bs - 1
+        assert ds.accesses == 256
+
 
 class TestDeviceAugment:
     def test_distribution_matches_host_pipeline(self):
@@ -371,6 +401,21 @@ class TestInMemoryCache:
             np.testing.assert_allclose(a, b)
             assert la == lb
         assert 0 in cached._cache and 3 in cached._cache
+
+    def test_in_memory_with_normalize_stable_across_epochs(self, wav_dir):
+        """Regression: with normalize=True the cache must hold the
+        NORMALIZED waveform — epoch 2 (cache hit) must see the exact same
+        data as epoch 1 (miss), and both must be N(0,1)-normalized."""
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "min_duration": 1, "normalize": True}
+        ds = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                in_memory=True)
+        epoch1 = [ds[i][0] for i in range(len(ds))]   # misses, fill cache
+        epoch2 = [ds[i][0] for i in range(len(ds))]   # hits
+        for a, b in zip(epoch1, epoch2):
+            np.testing.assert_array_equal(a, b)
+            assert abs(float(a.mean())) < 1e-3
+            assert abs(float(a.std()) - 1.0) < 1e-2
 
     def test_in_memory_disabled_for_cropped_reads(self, wav_dir):
         root, manifest, lbl_map = wav_dir

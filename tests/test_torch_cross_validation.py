@@ -113,7 +113,10 @@ class TestTorchCrossValidation:
 
 
 class TestCheckpointConversion:
-    def test_torch_frontend_roundtrip(self, tmp_path):
+    # "model_state_dict" is what the reference's save_checkpoint actually
+    # writes (reference train_xla.py:38-41); "model" covers bare exports.
+    @pytest.mark.parametrize("wrapper_key", ["model_state_dict", "model"])
+    def test_torch_frontend_roundtrip(self, tmp_path, wrapper_key):
         """Save a reference torch Leaf checkpoint, convert it, load it into
         our Leaf, and demand output parity with the torch model."""
         import subprocess
@@ -127,8 +130,8 @@ class TestCheckpointConversion:
             ref._compression.alpha.mul_(0.9)
             ref._pooling.weights.add_(0.05)
         ckpt_path = str(tmp_path / "ref.pth")
-        torch.save({"model": {f"features.{k}": v for k, v in
-                              ref.state_dict().items()}}, ckpt_path)
+        torch.save({wrapper_key: {f"features.{k}": v for k, v in
+                                  ref.state_dict().items()}}, ckpt_path)
 
         out_dir = str(tmp_path / "converted")
         subprocess.run(

@@ -124,6 +124,30 @@ class TestSchedules:
             ctl.step(0.0)
         assert ctl.lr == pytest.approx(1e-6)
 
+    @pytest.mark.parametrize("mode", ["max", "min"])
+    def test_plateau_matches_torch_on_signed_metrics(self, mode):
+        """Torch-parity including NEGATIVE metrics (torch rel-threshold mode
+        compares against best·(1±eps) unconditionally); regression for the
+        best<=0 deviation documented in round 1."""
+        torch = pytest.importorskip("torch")
+        rng = np.random.RandomState(7)
+        # signed metric walk crossing zero, incl. near-threshold values
+        metrics = np.concatenate([
+            rng.uniform(-2, 2, 40),
+            [-10.0, -10.04, -10.06, -9.99, 0.0, 0.0, 0.004, 0.006],
+        ])
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1.0)
+        tsched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode=mode, factor=0.1, patience=3, threshold=5e-3,
+            threshold_mode="rel", min_lr=1e-6)
+        ours = ReduceLROnPlateau(base_lr=1.0, factor=0.1, patience=3,
+                                 threshold=5e-3, mode=mode)
+        for m in metrics:
+            tsched.step(float(m))
+            our_lr = ours.step(float(m))
+            assert our_lr == pytest.approx(opt.param_groups[0]["lr"]), m
+
 
 class TestOptimizerParity:
     """Our optax chains must match torch optimizer semantics step-for-step."""
