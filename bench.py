@@ -53,18 +53,79 @@ def _timed_loop(step_fn, inputs, steps: int, warmup: int):
     return dt
 
 
+def check_fused_parity(batch: int = 64):
+    """Compiled (non-interpret) fused-kernel parity on the CURRENT device:
+    fused vs XLA Leaf forward + parameter gradients at the LEAF shape, f32.
+
+    Interpret-mode tests (tests/test_ops.py) clamp out-of-range dynamic
+    slices that the real TPU reads as garbage, so the compiled kernel must
+    be re-proven on the device itself. The TPU MXU evaluates f32 matmuls as
+    a multi-pass bf16 decomposition, so gradients legitimately differ from
+    the XLA path at ~1e-3 relative; tolerances below allow that while
+    catching any real indexing/accumulation regression (which shows up as
+    O(1) garbage, not 1e-3 noise).
+
+    Returns (fwd_max_abs_diff, grad_max_rel_diff); raises on failure.
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leaf_tpu.frontend import Leaf
+
+    rng = np.random.RandomState(7)
+    x = jnp.asarray(rng.randn(batch, SR).astype("float32") * 0.1)
+    xla_fe = Leaf(use_fused_kernel="off")
+    fused_fe = Leaf(use_fused_kernel="on")
+    params = jax.jit(xla_fe.init)(jax.random.PRNGKey(0), x)
+
+    def make_valgrad(mod):
+        def loss(p):
+            return jnp.sum(mod.apply(p, x) ** 2)
+        return jax.jit(jax.value_and_grad(loss))
+
+    _, g_xla = make_valgrad(xla_fe)(params)
+    _, g_fused = make_valgrad(fused_fe)(params)
+    o_xla = jax.jit(lambda p: xla_fe.apply(p, x))(params)
+    o_fused = jax.jit(lambda p: fused_fe.apply(p, x))(params)
+
+    fwd_diff = float(jnp.max(jnp.abs(o_xla - o_fused)))
+    grad_rel = 0.0
+    for gx, gf in zip(jax.tree_util.tree_leaves(g_xla),
+                      jax.tree_util.tree_leaves(g_fused)):
+        scale = float(jnp.max(jnp.abs(gx))) + 1e-12
+        grad_rel = max(grad_rel,
+                       float(jnp.max(jnp.abs(gx - gf))) / scale)
+    assert fwd_diff < 5e-4, \
+        f"fused-kernel FORWARD diverges from XLA on-device: {fwd_diff}"
+    assert grad_rel < 1e-2, \
+        f"fused-kernel GRADS diverge from XLA on-device: {grad_rel}"
+    return fwd_diff, grad_rel
+
+
+def _flagship_cfg(bf16: bool) -> dict:
+    import copy
+    from __graft_entry__ import FLAGSHIP_CFG
+    cfg = copy.deepcopy(FLAGSHIP_CFG)
+    if bf16:
+        # bfloat16 compute, f32 params + f32 contraction accumulators —
+        # exactly what `train.py --bf16` runs.
+        cfg["frontend"]["compute_dtype"] = "bfloat16"
+        cfg["model"]["compute_dtype"] = "bfloat16"
+    return cfg
+
+
 def bench_ours(batch: int = BATCH, steps: int = STEPS,
                warmup: int = WARMUP, frontend_only: bool = False,
-               inference_only: bool = False):
+               inference_only: bool = False, bf16: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
 
     from leaf_tpu.models import Classifier
     from leaf_tpu.training import TrainState, make_train_step, optimization_helper
-    from __graft_entry__ import FLAGSHIP_CFG
 
-    cfg = dict(FLAGSHIP_CFG)
+    cfg = _flagship_cfg(bf16)
     rng0 = np.random.RandomState(0)
     n_bufs = min(8, steps)
     xs_list = [jnp.asarray(rng0.randn(batch, SR).astype("float32") * 0.1)
@@ -73,7 +134,7 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     if frontend_only:
         # frontend fwd+bwd in isolation (the BASELINE.md north-star metric)
         from leaf_tpu.frontend import Leaf
-        model = Leaf()
+        model = Leaf(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
         params = model.init(jax.random.PRNGKey(0), xs_list[0])
 
         @jax.jit
@@ -118,6 +179,77 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
 
     dt = _timed_loop(step, xs_list, steps, warmup)
     return batch * steps / dt
+
+
+_PEAK_BF16_FLOPS = {
+    # per-chip dense bf16 matmul peak (public TPU specs)
+    "TPU v5 lite": 197e12,
+    "TPU v5e": 197e12,
+    "TPU v4": 275e12,
+    "TPU v5p": 459e12,
+    "TPU v6 lite": 918e12,
+}
+
+
+def bench_breakdown(batch: int = BATCH, steps: int = STEPS,
+                    warmup: int = WARMUP, bf16: bool = True) -> dict:
+    """Step-time breakdown + MFU estimate: where does the next 2× live?
+
+    Reports frontend fwd+bwd, full train step, inference rates, the implied
+    backbone+optimizer share of the step, and the train step's MFU (XLA
+    cost-analysis FLOPs / measured time / chip bf16 peak).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from leaf_tpu.models import Classifier
+    from leaf_tpu.training import (TrainState, make_train_step,
+                                   optimization_helper)
+
+    out = {}
+    out["frontend_fwdbwd_clips_per_sec"] = round(bench_ours(
+        batch, steps, warmup, frontend_only=True, bf16=bf16), 1)
+    out["inference_clips_per_sec"] = round(bench_ours(
+        batch, steps, warmup, inference_only=True, bf16=bf16), 1)
+    full = bench_ours(batch, steps, warmup, bf16=bf16)
+    out["train_step_clips_per_sec"] = round(full, 1)
+
+    step_ms = batch / full * 1e3
+    fe_ms = batch / out["frontend_fwdbwd_clips_per_sec"] * 1e3
+    out["train_step_ms"] = round(step_ms, 3)
+    out["frontend_share_ms"] = round(fe_ms, 3)
+    out["backbone_optimizer_share_ms"] = round(step_ms - fe_ms, 3)
+
+    # MFU from XLA's own FLOP count for the compiled train step.
+    cfg = _flagship_cfg(bf16)
+    model = Classifier(cfg=cfg)
+    x = jnp.zeros((batch, SR), jnp.float32)
+    variables = jax.jit(model.init, static_argnames=("train",))(
+        {"params": jax.random.PRNGKey(0)}, x, train=False)
+    tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=100,
+                                   num_epochs=100)
+    state = TrainState.create(apply_fn=model.apply,
+                              params=variables["params"],
+                              batch_stats=variables["batch_stats"], tx=tx)
+    train_step = make_train_step("multiclass", donate=False)
+    ys = jnp.zeros((batch,), jnp.int32)
+    try:
+        compiled = train_step.lower(state, x, ys,
+                                    jax.random.PRNGKey(1)).compile()
+        ca = compiled.cost_analysis()
+        if isinstance(ca, (list, tuple)):
+            ca = ca[0]
+        flops = float(ca.get("flops", 0.0))
+    except Exception:
+        flops = 0.0
+    kind = jax.devices()[0].device_kind
+    peak = _PEAK_BF16_FLOPS.get(kind)
+    out["train_step_tflops"] = round(flops / 1e12, 3)
+    if flops and peak:
+        out["mfu_vs_bf16_peak"] = round(flops / (step_ms / 1e3) / peak, 4)
+        out["device_kind"] = kind
+    return out
 
 
 def measure_torch_baseline(batch: int = BATCH, steps: int = 5,
@@ -211,6 +343,18 @@ def main():
     p.add_argument("--inference", action="store_true",
                    help="benchmark forward-only (serving) instead of the "
                         "train step")
+    p.add_argument("--f32", action="store_true",
+                   help="benchmark float32 compute (default: bfloat16 "
+                        "compute + f32 params, the best safe config and "
+                        "what train.py --bf16 runs)")
+    p.add_argument("--parity", action="store_true",
+                   help="only run the on-device fused-vs-XLA parity check "
+                        "and print its JSON line")
+    p.add_argument("--skip-parity", action="store_true",
+                   help="skip the pre-headline fused-kernel parity check")
+    p.add_argument("--breakdown", action="store_true",
+                   help="print a step-time breakdown + MFU (multiple JSON "
+                        "lines; not the driver headline)")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--steps", type=int, default=STEPS)
@@ -233,10 +377,36 @@ def main():
         jax.config.update("jax_platforms", args.platform)
     import jax
     platform = jax.devices()[0].platform
+    bf16 = not args.f32
+
+    if args.parity:
+        fwd_diff, grad_rel = check_fused_parity()
+        print(json.dumps({
+            "metric": f"fused_kernel_parity_{platform}",
+            "value": fwd_diff, "unit": "max_abs_fwd_diff",
+            "grad_max_rel_diff": grad_rel, "vs_baseline": 1.0}))
+        return
+
+    if args.breakdown:
+        for k, v in bench_breakdown(args.batch, args.steps,
+                                    bf16=bf16).items():
+            print(json.dumps({"metric": f"{k}_{platform}_bs{args.batch}"
+                              + ("_bf16" if bf16 else "_f32"),
+                              "value": v}))
+        return
+
+    # Certify the compiled fused kernel against the XLA path on THIS device
+    # before timing it — the recorded headline then implies numerical parity
+    # (interpret-mode CI can't prove the TPU's dynamic-slice behavior).
+    if not args.skip_parity and not args.inference:
+        import sys
+        fwd_diff, grad_rel = check_fused_parity()
+        print(f"fused-kernel on-device parity ok: fwd {fwd_diff:.2e}, "
+              f"grads {grad_rel:.2e} rel", file=sys.stderr)
 
     rate = bench_ours(args.batch, args.steps,
                       frontend_only=args.frontend_only,
-                      inference_only=args.inference)
+                      inference_only=args.inference, bf16=bf16)
 
     baseline = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -253,7 +423,8 @@ def main():
               else "inference_clips_per_sec" if args.inference
               else "train_step_clips_per_sec")
     print(json.dumps({
-        "metric": f"{metric}_{platform}_bs{args.batch}",
+        "metric": f"{metric}_{platform}_bs{args.batch}"
+                  + ("_bf16" if bf16 else "_f32"),
         "value": round(rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(rate / baseline, 3) if baseline else 0.0,
