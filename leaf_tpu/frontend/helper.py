@@ -10,8 +10,6 @@ state dict.
 
 from __future__ import annotations
 
-import os
-
 from leaf_tpu.frontend.frontend import Leaf
 
 __all__ = ["get_frontend"]
@@ -52,11 +50,3 @@ def get_frontend(opt: dict) -> Leaf:
             use_fused_kernel=use_fused,
         )
     return fe
-
-
-def get_pretrained_frontend_path(opt: dict) -> str | None:
-    """Return the configured pretrained-frontend checkpoint path, if any."""
-    pretrained = opt.get("frontend", {}).get("pretrained", "")
-    if pretrained and os.path.exists(pretrained):
-        return pretrained
-    return None

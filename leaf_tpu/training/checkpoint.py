@@ -22,7 +22,7 @@ import orbax.checkpoint as ocp
 
 __all__ = ["save_checkpoint", "load_checkpoint", "best_checkpoint",
            "save_hparams", "load_hparams", "load_pretrained_frontend",
-           "load_pretrained_backbone"]
+           "load_pretrained_backbone", "apply_pretrained_frontend"]
 
 _CKPT_RE = re.compile(r"^epoch_(\d+)$")
 
@@ -179,6 +179,31 @@ def load_pretrained_frontend(path: str, params):
     new = dict(params)
     new["features"] = restored["params"]["features"]
     return type(params)(new) if not isinstance(params, dict) else new
+
+
+def apply_pretrained_frontend(cfg: dict, params):
+    """Config-driven pretrained-frontend loading — the README's flagship
+    "pretrained LEAF extraction" flow (reference frontend_helper.py:12-14,
+    52-53 loads ``frontend.pretrained`` into the frontend at construction;
+    reference README.md:94-114).
+
+    Returns (params, loaded_path_or_None). Dispatches on the artifact:
+    a torch-converted npz dir (scripts/convert_torch_checkpoint.py output)
+    or an orbax training checkpoint of a full Classifier. A configured but
+    missing path is an error, never a silent mel-init fallback.
+    """
+    pretrained = str(cfg.get("frontend", {}).get("pretrained", "") or "")
+    if not pretrained or pretrained.lower() == "none":
+        return params, None
+    path = pretrained
+    if not os.path.exists(path):
+        raise FileNotFoundError(
+            f"frontend.pretrained = {path!r} does not exist")
+    if os.path.isfile(path) and path.endswith(".npz"):
+        path = os.path.dirname(path)
+    if os.path.exists(os.path.join(path, "frontend_params.npz")):
+        return load_converted_frontend(path, params), pretrained
+    return load_pretrained_frontend(path, params), pretrained
 
 
 def load_pretrained_backbone(path: str, params, keep_head: bool = True):

@@ -154,6 +154,73 @@ class TestCheckpointConversion:
         assert np.abs(our_out - ref_np).max() < 1e-4
 
 
+class TestConfigDrivenPretrainedFrontend:
+    def test_cfg_pretrained_loads_into_classifier(self, tmp_path):
+        """The README's flagship flow (reference README.md:94-114,
+        frontend_helper.py:12-14,52-53): a cfg with ``frontend.pretrained``
+        pointing at a converted torch checkpoint must start the Classifier
+        from those frontend weights — verified by output parity of
+        ``features_only`` against the torch model."""
+        import subprocess
+        from leaf_tpu.models import Classifier
+        from leaf_tpu.training.checkpoint import apply_pretrained_frontend
+
+        RefLeaf = _load_reference_leaf()
+        ref = RefLeaf(use_legacy_complex=False)
+        with torch.no_grad():
+            ref._compression.alpha.mul_(0.85)
+            ref._pooling.weights.add_(0.07)
+            ref._complex_conv._kernel.mul_(1.05)
+        ckpt_path = str(tmp_path / "ref.pth")
+        torch.save({"model_state_dict": {f"features.{k}": v for k, v in
+                                         ref.state_dict().items()}},
+                   ckpt_path)
+        out_dir = str(tmp_path / "converted")
+        subprocess.run(
+            [sys.executable, "scripts/convert_torch_checkpoint.py",
+             ckpt_path, out_dir],
+            check=True, cwd="/root/repo")
+
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True,
+                         "pretrained": out_dir},
+            "audio_config": {"sample_rate": 16000},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 5, "type": "multiclass"},
+        }
+        model = Classifier(cfg=cfg)
+        rng = np.random.RandomState(11)
+        wav = rng.randn(2, 16000).astype(np.float32) * 0.1
+        variables = model.init({"params": jax.random.PRNGKey(0)},
+                               jnp.asarray(wav), train=False)
+        new_params, path = apply_pretrained_frontend(
+            cfg, variables["params"])
+        assert path == out_dir
+        variables = {**variables, "params": new_params}
+
+        ref.eval()
+        with torch.no_grad():
+            ref_out = ref(torch.from_numpy(wav).unsqueeze(1))
+        ref_np = ref_out.numpy().transpose(0, 2, 1)
+        ours = np.asarray(model.apply(variables, jnp.asarray(wav),
+                                      method="features_only"))
+        assert np.abs(ours - ref_np).max() < 1e-4
+
+    def test_missing_pretrained_path_raises(self):
+        from leaf_tpu.training.checkpoint import apply_pretrained_frontend
+        cfg = {"frontend": {"pretrained": "/nonexistent/ckpt"}}
+        with pytest.raises(FileNotFoundError, match="nonexistent"):
+            apply_pretrained_frontend(cfg, {})
+
+    def test_unset_pretrained_is_noop(self):
+        from leaf_tpu.training.checkpoint import apply_pretrained_frontend
+        params = {"features": {}}
+        for cfg in ({"frontend": {}}, {"frontend": {"pretrained": "None"}},
+                    {"frontend": {"pretrained": ""}}):
+            out, path = apply_pretrained_frontend(cfg, params)
+            assert out is params and path is None
+
+
 class TestNonDefaultGeometryParity:
     def test_n_filters_64_three_second_clips(self):
         """The audioset resnet cfg uses n_filters=64 (reference:

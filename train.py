@@ -79,7 +79,8 @@ def train(args):
     from leaf_tpu.parallel import make_mesh, shard_batch, shard_params
     from leaf_tpu.training import (TrainState, get_config, make_eval_step,
                                    make_train_step, optimization_helper)
-    from leaf_tpu.training.checkpoint import (load_checkpoint,
+    from leaf_tpu.training.checkpoint import (apply_pretrained_frontend,
+                                              load_checkpoint,
                                               save_checkpoint, save_hparams)
     from leaf_tpu.training.loggers import RateTracker, TrainLogger
 
@@ -165,6 +166,12 @@ def train(args):
     sample = jnp.zeros((2, tr_clip), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": rng}, sample, train=False)
+    # config-driven pretrained LEAF frontend (reference
+    # frontend_helper.py:12-14,52-53)
+    new_params, pre_path = apply_pretrained_frontend(cfg, variables["params"])
+    if pre_path is not None:
+        variables = {**variables, "params": new_params}
+        logger.print(f"loaded pretrained frontend from {pre_path}")
     tx, plateau, sched_name = optimization_helper(
         cfg, num_devices=n_dev,
         num_tr_steps_per_epoch=steps_per_epoch, num_epochs=args.epochs)
