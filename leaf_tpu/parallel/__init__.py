@@ -5,6 +5,7 @@ sharding), replacing the reference's per-core torch-xla process spawns
 from leaf_tpu.parallel.mesh import (
     make_mesh,
     batch_sharding,
+    loader_batch_size,
     replicated_sharding,
     shard_batch,
     shard_params,
@@ -13,6 +14,7 @@ from leaf_tpu.parallel.mesh import (
 __all__ = [
     "make_mesh",
     "batch_sharding",
+    "loader_batch_size",
     "replicated_sharding",
     "shard_batch",
     "shard_params",

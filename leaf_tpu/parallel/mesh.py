@@ -20,7 +20,40 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 __all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "shard_params", "local_batch_slice"]
+           "shard_batch", "shard_params", "local_batch_slice",
+           "loader_batch_size"]
+
+
+def loader_batch_size(cfg_batch_size: int, n_devices: int,
+                      process_count: int = 1,
+                      mode: str = "per_device") -> int:
+    """Per-PROCESS loader batch size under the chosen batch semantics.
+
+    mode='per_device' (default — reference parity): cfg ``opt.batch_size``
+    counts clips PER CHIP, exactly like the reference, where each of N
+    xmp-spawned processes runs its own ``DataLoader(batch_size)`` over a
+    DistributedSampler shard (reference train_xla.py:176,192-194) — the
+    flagship recipe at 8 cores consumes 256×8 clips per optimizer step.
+    mode='global': cfg batch_size is the GLOBAL batch, sharded over the
+    mesh (same clips/step at any device count — useful for exact-repro
+    scaling studies). On one device the modes coincide.
+    """
+    if mode == "per_device":
+        global_batch = cfg_batch_size * n_devices
+    elif mode == "global":
+        global_batch = cfg_batch_size
+    else:
+        raise ValueError(f"unknown batch_mode {mode!r} "
+                         "(expected 'per_device' or 'global')")
+    if global_batch % max(1, process_count):
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{process_count} processes")
+    if global_batch % max(1, n_devices):
+        raise ValueError(
+            f"global batch {global_batch} not divisible by "
+            f"{n_devices} devices")
+    return global_batch // max(1, process_count)
 
 
 def make_mesh(n_devices: Optional[int] = None,

@@ -10,6 +10,7 @@ from jax.sharding import PartitionSpec as P
 
 from leaf_tpu.parallel import (
     batch_sharding,
+    loader_batch_size,
     make_mesh,
     replicated_sharding,
     shard_batch,
@@ -160,6 +161,45 @@ class TestDataParallelMath:
                          shard_batch(mesh, y), jax.random.PRNGKey(2))
         stats = jax.tree_util.tree_leaves(s8.batch_stats)
         assert all(np.all(np.isfinite(np.asarray(s))) for s in stats)
+
+
+class TestBatchSemantics:
+    """Clips consumed per optimizer step at n_devices=8 must match the
+    documented semantics (PARITY.md §2.8): default 'per_device' reproduces
+    the reference's per-core DataLoader(batch_size) — global batch =
+    batch_size × n_devices (reference train_xla.py:176,192-194)."""
+
+    def test_per_device_mode_eight_devices(self):
+        mesh = make_mesh(8)
+        bs = loader_batch_size(4, mesh.devices.size, 1, "per_device")
+        assert bs == 32  # one process feeds the whole 8-chip step
+        xb = shard_batch(mesh, jnp.zeros((bs, 100), jnp.float32))
+        # …and every chip computes exactly cfg batch_size clips
+        assert xb.sharding.shard_shape(xb.shape)[0] == 4
+
+    def test_global_mode_eight_devices(self):
+        bs = loader_batch_size(32, 8, 1, "global")
+        assert bs == 32  # same clips/step regardless of device count
+        mesh = make_mesh(8)
+        xb = shard_batch(mesh, jnp.zeros((bs, 100), jnp.float32))
+        assert xb.sharding.shard_shape(xb.shape)[0] == 4
+
+    def test_multi_process_split(self):
+        # 2 hosts × 4 chips each: each host's loader feeds its local chips
+        assert loader_batch_size(4, 8, 2, "per_device") == 16
+        assert loader_batch_size(32, 8, 2, "global") == 16
+
+    def test_indivisible_raises(self):
+        with pytest.raises(ValueError, match="divisible"):
+            loader_batch_size(3, 8, 1, "global")
+        with pytest.raises(ValueError, match="divisible"):
+            loader_batch_size(3, 1, 2, "per_device")
+        with pytest.raises(ValueError, match="batch_mode"):
+            loader_batch_size(4, 8, 1, "percore")
+
+    def test_single_device_modes_coincide(self):
+        assert loader_batch_size(256, 1, 1, "per_device") == \
+            loader_batch_size(256, 1, 1, "global") == 256
 
 
 class TestGraftEntry:

@@ -47,6 +47,14 @@ def parse_args():
     p.add_argument("--log_steps", type=int, default=50)
     p.add_argument("--n_devices", type=int, default=None,
                    help="restrict to first N devices (default: all)")
+    p.add_argument("--batch_mode", choices=("per_device", "global"),
+                   default="per_device",
+                   help="'per_device' (default, reference parity): cfg "
+                        "batch_size counts clips PER CHIP — global batch "
+                        "= batch_size × n_devices, like the reference's "
+                        "per-core DataLoaders (train_xla.py:176,192-194). "
+                        "'global': cfg batch_size is the total batch "
+                        "sharded over the mesh.")
     p.add_argument("--labels_delimiter", type=str, default=",")
     p.add_argument("--no_wandb", action="store_true", default=True)
     p.add_argument("--wandb_project", type=str, default=None)
@@ -76,7 +84,8 @@ def train(args):
     from leaf_tpu.data import (RawWaveformDataset, PackedDataset,
                                leaf_supervised_transforms, setup_dataloaders)
     from leaf_tpu.models import Classifier
-    from leaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    from leaf_tpu.parallel import (loader_batch_size, make_mesh, shard_batch,
+                                   shard_params)
     from leaf_tpu.training import (TrainState, get_config, make_eval_step,
                                    make_train_step, optimization_helper)
     from leaf_tpu.training.checkpoint import (apply_pretrained_frontend,
@@ -115,7 +124,12 @@ def train(args):
             "name": os.path.basename(args.expdir),
             "config": cfg,
         })
-    logger.print(f"devices: {n_dev} | processes: {world} | mode: {mode}")
+    # batch semantics: loader batch per process (see loader_batch_size —
+    # default 'per_device' matches the reference's effective batch at any
+    # device count; PARITY.md §2.8)
+    loader_bs = loader_batch_size(batch_size, n_dev, world, args.batch_mode)
+    logger.print(f"devices: {n_dev} | processes: {world} | mode: {mode} | "
+                 f"batch/step: {loader_bs * world} ({args.batch_mode})")
 
     # ------------------------------------------------------------- data
     if args.high_aug:
@@ -150,7 +164,7 @@ def train(args):
                      mode=mode, delimiter=args.labels_delimiter,
                      transform=val_tfs, is_val=True, **extra)
     train_loader, val_loader = setup_dataloaders(
-        train_set, val_set, batch_size,
+        train_set, val_set, loader_bs,
         device_world_size=world, local_rank=rank,
         target_len=tr_clip, val_target_len=val_clip,
         multiclass=multiclass, num_workers=args.num_workers,
