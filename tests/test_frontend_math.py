@@ -48,6 +48,37 @@ class TestGaborParams:
         np.testing.assert_allclose(got, ref, rtol=1e-5)
 
 
+class TestGoldenMelInit:
+    """Bit-exact regression against the FROZEN (mu, sigma) tables
+    (tests/golden_mel_init.py) for both shipped geometries — an off-by-one
+    in any mel-bank bin threshold shifts these and fails here, even if the
+    live float64 oracle drifts with it (VERDICT round-1 item 6)."""
+
+    def test_default_40_bit_exact(self):
+        from tests.golden_mel_init import DEFAULT_40
+        p = filters.GaborParams(
+            n_filters=40, min_freq=60.0, max_freq=7800.0
+        ).gabor_params_from_mels()
+        assert p.dtype == np.float32
+        np.testing.assert_array_equal(p, DEFAULT_40)
+
+    def test_audioset_64_bit_exact(self):
+        from tests.golden_mel_init import AUDIOSET_64
+        p = filters.GaborParams(
+            n_filters=64, min_freq=60.0, max_freq=7800.0
+        ).gabor_params_from_mels()
+        np.testing.assert_array_equal(p, AUDIOSET_64)
+
+    def test_leaf_init_uses_golden_values(self):
+        # end-to-end: Leaf's complex_conv kernel init IS the golden table
+        from tests.golden_mel_init import DEFAULT_40
+        from leaf_tpu.frontend import Leaf
+        leaf = Leaf()
+        params = leaf.init(jax.random.PRNGKey(0), jnp.zeros((1, 16000)))
+        k = np.asarray(params["params"]["complex_conv"]["kernel"])
+        np.testing.assert_array_equal(k, DEFAULT_40)
+
+
 class TestGaborImpulseResponse:
     def test_matches_oracle(self):
         params = oracle.gabor_params_from_mels().astype(np.float32)
