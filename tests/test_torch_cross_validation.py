@@ -36,6 +36,11 @@ def _load_reference_leaf():
         return sys.modules["leaf_pytorch.frontend"].Leaf
     ta = types.ModuleType("torchaudio")
     taf = types.ModuleType("torchaudio.functional")
+    # a real ModuleSpec so importlib.util.find_spec("torchaudio") (used by
+    # transformers' availability probing) doesn't choke on the stub
+    ta.__spec__ = importlib.machinery.ModuleSpec("torchaudio", loader=None)
+    taf.__spec__ = importlib.machinery.ModuleSpec(
+        "torchaudio.functional", loader=None)
 
     def melscale_fbanks(n_freqs, f_min, f_max, n_mels, sample_rate):
         # never trusted — params are overwritten after construction

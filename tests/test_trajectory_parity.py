@@ -1,0 +1,219 @@
+"""Trajectory-level training parity vs the ACTUAL torch reference.
+
+The strongest accuracy-parity proxy this environment allows (datasets are
+unavailable): run the SAME tiny synthetic dataset through BOTH frameworks —
+our Leaf + cifar_resnet20 stack (real make_train_step / optimization_helper)
+and the reference's leaf_pytorch.Leaf + models/vanilla_cifar_resnet.resnet20
+with torch Adam + HF warmup-cosine (exactly the reference train loop
+semantics, train_xla.py:259-294) — from IDENTICAL injected parameters, and
+demand the loss curves agree step-for-step. This catches BatchNorm-momentum,
+weight-decay-coupling, Adam-epsilon, and schedule drift that single-forward
+parity tests cannot see.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_torch_cross_validation import _load_reference_leaf  # noqa: E402
+
+N_CLASSES = 5
+N_STEPS = 50
+BATCH = 16
+LR = 1e-3
+WD = 1e-4
+WARMUP = 10
+
+
+def _load_reference_cifar_resnet():
+    import importlib.util
+    spec = importlib.util.spec_from_file_location(
+        "ref_vanilla_cifar_resnet",
+        f"{REF}/models/vanilla_cifar_resnet.py")
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["ref_vanilla_cifar_resnet"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def _inject_params_into_torch(variables, ref_model):
+    """Copy our initialized Flax params into the torch reference model
+    (frontend tensors + every conv/bn/linear of the resnet20 backbone)."""
+    p = variables["params"]
+
+    def t(a):
+        return torch.from_numpy(np.array(a, dtype=np.float32))
+
+    fe = p["features"]
+    with torch.no_grad():
+        f = ref_model.features
+        f._complex_conv._kernel.copy_(t(fe["complex_conv"]["kernel"]))
+        f._pooling.weights.copy_(
+            t(np.asarray(fe["pooling"]["weights"]).reshape(1, 1, -1, 1)))
+        f._pooling._bias.copy_(t(fe["pooling"]["bias"]))
+        f._compression.alpha.copy_(t(fe["compression"]["alpha"]))
+        f._compression.delta.copy_(t(fe["compression"]["delta"]))
+        f._compression.root.copy_(t(fe["compression"]["root"]))
+        f._compression.ema._weights.copy_(
+            t(fe["compression"]["ema"]["weights"]))
+
+        m = p["model"]
+        bb = ref_model.model
+        # HWIO -> OIHW
+        bb.conv1.weight.copy_(t(m["conv1"]["kernel"]).permute(3, 2, 0, 1))
+        bb.bn1.weight.copy_(t(m["bn1"]["scale"]))
+        bb.bn1.bias.copy_(t(m["bn1"]["bias"]))
+        for s, layer in enumerate([bb.layer1, bb.layer2, bb.layer3], 1):
+            for i, blk in enumerate(layer):
+                fl = m[f"layer{s}_{i}"]
+                blk.conv1.weight.copy_(
+                    t(fl["conv1"]["kernel"]).permute(3, 2, 0, 1))
+                blk.conv2.weight.copy_(
+                    t(fl["conv2"]["kernel"]).permute(3, 2, 0, 1))
+                blk.bn1.weight.copy_(t(fl["bn1"]["scale"]))
+                blk.bn1.bias.copy_(t(fl["bn1"]["bias"]))
+                blk.bn2.weight.copy_(t(fl["bn2"]["scale"]))
+                blk.bn2.bias.copy_(t(fl["bn2"]["bias"]))
+        bb.linear.weight.copy_(t(m["linear"]["kernel"]).T)
+        bb.linear.bias.copy_(t(m["linear"]["bias"]))
+
+
+class _RefClassifier(torch.nn.Module):
+    """Reference composition (models/classifier.py:7-18): features ->
+    unsqueeze(1) -> backbone."""
+
+    def __init__(self, RefLeaf, ref_resnet_mod):
+        super().__init__()
+        self.features = RefLeaf(use_legacy_complex=False)
+        self.model = ref_resnet_mod.resnet20(num_classes=N_CLASSES)
+
+    def forward(self, x):
+        out = self.features(x)          # (B, F, T')
+        return self.model(out.unsqueeze(1))  # NCHW (B, 1, F, T')
+
+
+@pytest.fixture(scope="module")
+def both_models():
+    from leaf_tpu.models import Classifier
+
+    cfg = {
+        "frontend": {"name": "leaf", "default_args": True},
+        "audio_config": {"sample_rate": 16000},
+        "model": {"arch": "cifar_resnet", "model_depth": 20,
+                  "num_classes": N_CLASSES, "type": "multiclass"},
+        "opt": {"optimizer": "Adam", "lr": LR, "weight_decay": WD,
+                "scheduler": "warmupcosine", "warmup_epochs": 1,
+                "batch_size": BATCH},
+    }
+    ours = Classifier(cfg=cfg)
+    rng = np.random.RandomState(0)
+    wav0 = jnp.asarray(rng.randn(BATCH, 16000).astype(np.float32) * 0.1)
+    variables = ours.init({"params": jax.random.PRNGKey(0)}, wav0,
+                          train=False)
+
+    RefLeaf = _load_reference_leaf()
+    ref_mod = _load_reference_cifar_resnet()
+    ref = _RefClassifier(RefLeaf, ref_mod)
+    _inject_params_into_torch(variables, ref)
+    return cfg, ours, variables, ref
+
+
+class TestForwardParity:
+    def test_full_classifier_forward_matches_torch(self, both_models):
+        """Backbone forward parity (beyond the param-count checks): the
+        whole Leaf + cifar_resnet20 classifier, eval mode, must match the
+        torch reference from identical params."""
+        cfg, ours, variables, ref = both_models
+        rng = np.random.RandomState(42)
+        wav = rng.randn(4, 16000).astype(np.float32) * 0.1
+        ref.eval()
+        with torch.no_grad():
+            ref_logits = ref(torch.from_numpy(wav).unsqueeze(1)).numpy()
+        our_logits = np.asarray(
+            ours.apply(variables, jnp.asarray(wav), train=False))
+        assert our_logits.shape == ref_logits.shape
+        np.testing.assert_allclose(our_logits, ref_logits,
+                                   atol=5e-4, rtol=1e-3)
+
+
+class TestTrajectoryParity:
+    def test_fifty_adam_steps_loss_curve(self, both_models):
+        """50 Adam + warmup-cosine steps on identical data: per-step train
+        losses must track each other (reference loop semantics
+        train_xla.py:259-294: scheduler stepped per batch)."""
+        import transformers
+
+        from leaf_tpu.training import (TrainState, make_train_step,
+                                       optimization_helper)
+
+        cfg, ours, variables, ref = both_models
+        rng = np.random.RandomState(123)
+        # 4 fixed batches cycled for 50 steps; classes roughly separable
+        # (distinct tone frequencies) so the loss actually moves
+        n_items = 4 * BATCH
+        t = np.arange(16000, dtype=np.float32) / 16000.0
+        labels = (np.arange(n_items) % N_CLASSES).astype(np.int64)
+        freqs = 300.0 + 400.0 * labels
+        waves = 0.2 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
+        waves = (waves + 0.02 * rng.randn(n_items, 16000)).astype(np.float32)
+
+        # ---- ours: the real training stack
+        tx, _, _ = optimization_helper(
+            cfg, num_tr_steps_per_epoch=WARMUP, num_epochs=N_STEPS // WARMUP)
+        state = TrainState.create(
+            apply_fn=ours.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"], tx=tx)
+        train_step = make_train_step("multiclass", donate=False)
+        key = jax.random.PRNGKey(7)
+        our_losses = []
+        for step in range(N_STEPS):
+            lo = (step % 4) * BATCH
+            xb = jnp.asarray(waves[lo:lo + BATCH])
+            yb = jnp.asarray(labels[lo:lo + BATCH].astype(np.int32))
+            state, metrics = train_step(state, xb, yb, key)
+            our_losses.append(float(metrics["loss"]))
+
+        # ---- reference: torch Adam + HF cosine schedule, per-batch step
+        ref.train()
+        opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=WD)
+        sched = transformers.get_cosine_schedule_with_warmup(
+            opt, num_warmup_steps=WARMUP, num_training_steps=N_STEPS)
+        loss_fn = torch.nn.CrossEntropyLoss()
+        ref_losses = []
+        for step in range(N_STEPS):
+            lo = (step % 4) * BATCH
+            xb = torch.from_numpy(waves[lo:lo + BATCH]).unsqueeze(1)
+            yb = torch.from_numpy(labels[lo:lo + BATCH])
+            opt.zero_grad()
+            loss = loss_fn(ref(xb), yb)
+            loss.backward()
+            opt.step()
+            sched.step()
+            ref_losses.append(float(loss.detach()))
+
+        our_losses = np.asarray(our_losses)
+        ref_losses = np.asarray(ref_losses)
+        # same starting point (identical params, BN batch stats)
+        assert abs(our_losses[0] - ref_losses[0]) < 1e-3, \
+            (our_losses[0], ref_losses[0])
+        # the curves track each other throughout: small per-step error
+        # relative to the loss scale, no compounding divergence
+        diff = np.abs(our_losses - ref_losses)
+        scale = np.maximum(np.abs(ref_losses), 0.1)
+        assert float((diff / scale).max()) < 0.05, \
+            list(zip(our_losses, ref_losses))
+        # and training actually learned in both
+        assert our_losses[-1] < 0.5 * our_losses[0]
+        assert ref_losses[-1] < 0.5 * ref_losses[0]
