@@ -2,6 +2,7 @@
 XLA_FLAGS=--xla_force_host_platform_device_count=8): mesh construction,
 sharding placement, DP train-step math vs single-device, graft dryrun."""
 
+import os
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -200,6 +201,51 @@ class TestBatchSemantics:
     def test_single_device_modes_coincide(self):
         assert loader_batch_size(256, 1, 1, "per_device") == \
             loader_batch_size(256, 1, 1, "global") == 256
+
+
+class TestMultiHost:
+    def test_two_process_train_step(self, tmp_path):
+        """2 localhost processes × 4 fake devices each, gloo collectives:
+        one DP train step through jax.distributed.initialize +
+        local_batch_slice + make_array_from_process_local_data (the
+        `train.py --multihost` branch, mesh.py:54-93) — and the global loss
+        must match the same step run single-process on this test's own
+        8-device mesh."""
+        import socket
+        import subprocess
+        import sys
+
+        with socket.socket() as s:  # free localhost port
+            s.bind(("localhost", 0))
+            port = s.getsockname()[1]
+
+        worker = os.path.join(os.path.dirname(__file__),
+                              "multihost_worker.py")
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = "/root/repo"
+        procs = [subprocess.Popen(
+            [sys.executable, worker, str(i), "2", str(port)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True,
+            env=env, cwd="/root/repo") for i in range(2)]
+        outs = []
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+            assert p.returncode == 0, out[-2000:]
+        losses = []
+        for out in outs:
+            lines = [l for l in out.splitlines()
+                     if l.startswith("MULTIHOST_LOSS")]
+            assert lines, out[-2000:]
+            losses.append(float(lines[0].split()[1]))
+        # both hosts report the identical global (pmean'd) loss
+        assert losses[0] == pytest.approx(losses[1], abs=1e-6)
+
+        # …and it matches the single-process 8-device run bit-for-bit
+        # (modulo collective reduction order)
+        from tests.multihost_worker import run_one_step
+        single = run_one_step()
+        assert losses[0] == pytest.approx(single, abs=1e-4)
 
 
 class TestGraftEntry:
