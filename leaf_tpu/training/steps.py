@@ -71,6 +71,7 @@ def make_train_step(
     mixup_alpha: Optional[float] = None,
     donate: bool = True,
     augment_fn: Optional[Callable] = None,
+    watch_norms: bool = False,
 ) -> Callable:
     """Build the jitted train step: (state, x, y, rng) → (state, metrics).
 
@@ -82,6 +83,12 @@ def make_train_step(
     ``augment_fn(rng, x)`` runs on-device inside the step (e.g.
     leaf_tpu.data.device_augment.leaf_device_augment), replacing the
     reference's host-side torch_audiomentations augments.
+
+    ``watch_norms=True`` adds global + per-submodule parameter/gradient
+    L2 norms to the metrics — the TPU-native equivalent of
+    ``wandb.watch(model, log="all", log_freq=100)`` (reference:
+    train_xla.py:243-244): scalars computed inside the fused step (a few
+    reductions) instead of host-side histogram hooks.
     """
     multilabel = model_type == "multilabel"
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
@@ -132,6 +139,13 @@ def make_train_step(
             "correct": correct,
             "count": jnp.asarray(x.shape[0], jnp.int32),
         }
+        if watch_norms:
+            metrics["grad_norm"] = optax.global_norm(grads)
+            metrics["param_norm"] = optax.global_norm(new_state.params)
+            for key in grads:  # top level: 'features' / 'model'
+                metrics[f"grad_norm/{key}"] = optax.global_norm(grads[key])
+                metrics[f"param_norm/{key}"] = optax.global_norm(
+                    new_state.params[key])
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

@@ -248,6 +248,35 @@ class TestSteps:
         assert losses[-1] < losses[0], losses  # memorizing 4 samples
         assert np.isfinite(losses).all()
 
+    def test_train_step_watch_norms(self):
+        """wandb.watch(model) equivalent (reference train_xla.py:243-244):
+        watch_norms=True must add finite, positive global + per-submodule
+        param/grad L2 norms, and the global ones must equal the norms of
+        the actual trees."""
+        import optax
+        state, _ = _tiny_classifier_state()
+        step = make_train_step("multiclass", donate=False, watch_norms=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.array([0, 1, 2, 3])
+        new_state, metrics = step(state, x, y, jax.random.PRNGKey(7))
+        for key in ("grad_norm", "param_norm", "grad_norm/features",
+                    "grad_norm/model", "param_norm/features",
+                    "param_norm/model"):
+            v = float(metrics[key])
+            assert np.isfinite(v) and v > 0, (key, v)
+        np.testing.assert_allclose(
+            float(metrics["param_norm"]),
+            float(optax.global_norm(new_state.params)), rtol=1e-5)
+        # sub-norms compose into the global norm
+        np.testing.assert_allclose(
+            float(metrics["grad_norm"]),
+            float(np.hypot(float(metrics["grad_norm/features"]),
+                           float(metrics["grad_norm/model"]))), rtol=1e-5)
+        # default: no extra metrics, no extra cost
+        plain = make_train_step("multiclass", donate=False)
+        _, m2 = plain(state, x, y, jax.random.PRNGKey(7))
+        assert set(m2) == {"loss", "correct", "count"}
+
     def test_train_step_multilabel_with_mixup(self):
         state, _ = _tiny_classifier_state("multilabel")
         step = make_train_step("multilabel", mixup_alpha=1.0)

@@ -60,6 +60,11 @@ def parse_args():
     p.add_argument("--wandb_project", type=str, default=None)
     p.add_argument("--wandb_group", type=str, default=None)
     p.add_argument("--wandb_tags", type=str, default=None)
+    p.add_argument("--wandb_watch_model", "--watch_model",
+                   dest="watch_model", action="store_true",
+                   help="log global + per-submodule param/grad L2 norms "
+                        "every log_steps (the reference's "
+                        "wandb.watch(model), train_xla.py:243-244)")
     p.add_argument("--bf16", action="store_true",
                    help="run the model in bfloat16 compute (fp32 params)")
     p.add_argument("--profile_dir", type=str, default=None)
@@ -228,7 +233,7 @@ def train(args):
             val_needs_norm = True
         train_step = make_train_step(
             mode, mixup_alpha=1.0 if use_mixup else None,
-            augment_fn=tr_augment)
+            augment_fn=tr_augment, watch_norms=args.watch_model)
         eval_step = make_eval_step(mode)
         step_rng = jax.random.PRNGKey(args.random_seed + 1)
 
@@ -270,6 +275,11 @@ def train(args):
                         f"epoch {epoch} step {bi}/{steps_per_epoch} "
                         f"rate {tracker.rate():.1f} ex/s "
                         f"global {tracker.global_rate():.1f} ex/s")
+                    if args.watch_model:
+                        logger.log_scalars(
+                            {f"watch/{k}": float(v)
+                             for k, v in metrics.items() if "norm" in k},
+                            step=epoch * steps_per_epoch + bi)
             n_steps = bi + 1
             tr_loss = float(ep_loss) / n_steps
             tr_acc = (float(ep_correct) / max(1, int(ep_count))
