@@ -166,7 +166,10 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     state_holder = [TrainState.create(
         apply_fn=model.apply, params=variables["params"],
         batch_stats=variables["batch_stats"], tx=tx)]
-    train_step = make_train_step("multiclass", donate=False)
+    # donate=True is what train.py runs; donate=False made XLA insert
+    # ~1 ms/step of defensive copies of params/opt-state (visible as
+    # copy.* ops in the profile). The old state is never reused here.
+    train_step = make_train_step("multiclass", donate=True)
     ys = jnp.asarray(np.arange(batch, dtype=np.int32) % 35)
     rng = jax.random.PRNGKey(1)
 

@@ -19,9 +19,10 @@ How (forward), per grid step (batch-tile i, position-block m):
      layout FLAT avoids Mosaic-unsupported lane-splitting reshapes.
   3. Squared modulus in-register: S = OUT_re² + OUT_im² (f32, flat).
   4. For the ≤4 lowpass frames whose 401-tap window intersects this block,
-     the windowed reduction over r is a matmul with a masked selector:
-     contrib = S @ (onehot_p ⊙ w_flat), emitting partials (Bt, 4, P) —
-     combined with one segment_sum in XLA.
+     the windowed reduction over r is ONE matmul with a masked selector
+     batching all 4 frame slots: S @ concat_j(onehot_p ⊙ w_flat[off_j]) →
+     partials (Bt, 4·P) (N=4P keeps 4× more MXU output lanes busy than
+     per-frame N=P dots) — combined with one segment_sum in XLA.
 
 Backward (custom VJP) saves nothing but the inputs: per tile it recomputes
 OUT/S, folds the output cotangent through the transposed lowpass (d_S),
@@ -32,10 +33,14 @@ after which XLA folds the Toeplitz-structured dT back to dG by diagonal
 sums. The waveform gradient is NOT produced (the frontend input is the raw
 waveform; with a preceding preemphasis layer use the XLA path instead).
 
-Channel grouping bounds VMEM: the forward runs the F=40 pairs in groups of
-16, the backward in groups of 8 (its f32 dT accumulators are 528·128·P) —
-both at full 128-row MXU batch tiles thanks to the mod-16 offset alignment
-described at ``_WMARGIN``.
+Channel grouping bounds VMEM: the forward runs up to 24 pairs per kernel
+(LEAF's F=40 → two launches [24, 16], zero padding waste; see
+``_FWD_MAX_PAIRS`` for the VMEM accounting), the backward in groups of 8
+(its f32 dT accumulators are 528·128·P) — both
+at full 128-row MXU batch tiles thanks to the mod-16 offset alignment
+described at ``_WMARGIN``. The block-Toeplitz bank is gathered ONCE as
+(SLAB, 128, 2F) and sliced per group; the backward reuses it (and the
+unfolded slabs) via the VJP residuals instead of rebuilding.
 
 Capability parity: this op computes exactly
 GaussianLowPass(SquaredModulus(GaborConv1d(x))) of the reference
@@ -77,24 +82,43 @@ def lowpass_frames_out(t: int, stride: int, k: int,
     return (t + pad[0] + pad[1] - k) // stride + 1
 
 
-def _toeplitz_weights(bank: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(K, P) filters → block-Toeplitz (SLAB, 128·P): T[u, r·P+p]=G[u−r, p]."""
-    k, p = bank.shape
-    u = np.arange(_SLAB)[:, None]
-    r = np.arange(_POS_BLOCK)[None, :]
-    delta = u - r
-    valid = (delta >= 0) & (delta < k)
-    idx = np.clip(delta, 0, k - 1)
-    t = jnp.where(jnp.asarray(valid)[:, :, None],
-                  bank[jnp.asarray(idx)], 0.0)  # (SLAB, 128, P)
-    return t.reshape(_SLAB, _POS_BLOCK * p).astype(dtype)
+def _toeplitz_full(bank: jnp.ndarray, dtype) -> jnp.ndarray:
+    """(K, C) filters → block-Toeplitz (SLAB, 128, C): T[u, r, c]=G[u−r, c].
+
+    Built ONCE for all channels (one gather) and sliced per pair-group —
+    per-group rebuilds were a measurable share of the op (the gather, not
+    the bytes, dominates). The (u, r) leading layout means a channel slice
+    + reshape yields the (SLAB, 128·P) matmul operand with the flat
+    (position r, pair p) minor layout the kernels use.
+
+    Built as 128 static zero-pads stacked along r — XLA lowers that to
+    plain strided copies, ~4× cheaper than the equivalent (528·128)-index
+    gather formulation (measured: the gather fusion alone was 0.94 ms/step
+    at LEAF shape)."""
+    k, c = bank.shape
+    b = bank.astype(dtype)
+    cols = [jnp.pad(b, ((r, _SLAB - k - r), (0, 0)))
+            for r in range(_POS_BLOCK)]
+    return jnp.stack(cols, axis=1)  # (SLAB, 128, C)
 
 
-def _fold_toeplitz_grad(d_t: jnp.ndarray, k: int, p: int) -> jnp.ndarray:
-    """(SLAB, 128·P) Toeplitz cotangent → (K, P) by summing r-diagonals."""
-    d_t = d_t.reshape(_SLAB, _POS_BLOCK, p)
+def _slice_toeplitz(tfull: jnp.ndarray, g0: int, g1: int,
+                    pad_to: int) -> jnp.ndarray:
+    """(SLAB, 128, C) → (SLAB, 128·P) for channels [g0, g1), zero-padded to
+    P=pad_to pairs (zero channels produce zero outputs/grads)."""
+    t = tfull[:, :, g0:g1]
+    if g1 - g0 < pad_to:
+        t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_to - (g1 - g0))))
+    return t.reshape(_SLAB, _POS_BLOCK * pad_to)
+
+
+def _fold_toeplitz_grad(d_t: jnp.ndarray, k: int) -> jnp.ndarray:
+    """(SLAB, 128, C) Toeplitz cotangent → (K, C) by summing r-diagonals.
+
+    Called ONCE on the channel-concatenated cotangents of every backward
+    group and both banks — one gather instead of 2×n_groups."""
     q = jnp.arange(k)[:, None] + jnp.arange(_POS_BLOCK)[None, :]  # (K, 128)
-    gathered = d_t[q, jnp.arange(_POS_BLOCK)[None, :], :]  # (K, 128, P)
+    gathered = d_t[q, jnp.arange(_POS_BLOCK)[None, :], :]  # (K, 128, C)
     return gathered.sum(axis=1)
 
 
@@ -156,6 +180,15 @@ def _fwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, out_ref, *, n_pairs: int,
     onehot = _pair_onehot(n_pairs)                # (128·P, P)
     fr_min = _frame_min(m, stride, pad_l)
     np_ = n_pairs
+    # Windowed reduction as (S ⊙ wf_row) @ onehot: wf stays a (1, 128·P)
+    # ROW vector broadcast over the batch rows — the earlier
+    # onehot ⊙ wf.reshape(128·P, 1) selector forced a lane→sublane
+    # relayout (a 2048-element transpose) per frame, which dominated the
+    # forward (the kernel is relayout/VPU-bound, not MXU-bound: bf16 and
+    # f32 matmul inputs time identically). Invalid frames are masked by
+    # zeroing their window slice (a select, so OOB-garbage reads — even
+    # NaN bit patterns — cannot leak through).
+    contribs = []
     for j in range(_FRAMES_PER_BLOCK):
         fr = fr_min + j
         off = m * _POS_BLOCK - (fr * stride - pad_l)  # tap at r=0
@@ -164,20 +197,19 @@ def _fwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, out_ref, *, n_pairs: int,
         start = pl.multiple_of((off + _WMARGIN) * np_, 128)
         wf = wf_ref[:, pl.ds(start, _POS_BLOCK * np_)]
         valid = jnp.logical_and(fr >= 0, fr < n_frames)
-        sel = onehot * wf.reshape(_POS_BLOCK * np_, 1)
-        contrib = jnp.dot(s, sel, preferred_element_type=jnp.float32)
-        out_ref[:, 0, j, :] = jnp.where(valid, contrib, 0.0)
+        wf = jnp.where(valid, wf, 0.0)
+        contribs.append(jnp.dot(s * wf, onehot,
+                                preferred_element_type=jnp.float32))
+    out_ref[0] = jnp.concatenate(contribs, axis=1)  # (Bt, 4·P)
 
 
-def _run_fwd_group(xs, bank_re, bank_im, windows_g, t_len, stride, pad_l,
+def _run_fwd_group(xs, t_re, t_im, windows_g, t_len, stride, pad_l,
                    n_frames, interpret):
     m_blocks, b, _ = xs.shape
-    n_pairs = bank_re.shape[1]
+    n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
     assert b % bt == 0, f"batch {b} not a multiple of tile {bt}"
 
-    t_re = _toeplitz_weights(bank_re, xs.dtype)
-    t_im = _toeplitz_weights(bank_im, xs.dtype)
     wf = _flat_windows(windows_g)
 
     kern = functools.partial(
@@ -196,13 +228,18 @@ def _run_fwd_group(xs, bank_re, bank_im, windows_g, t_len, stride, pad_l,
             pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
+        # M leads (like the input slabs) so the block's last two dims are
+        # (bt, 4·P) — Mosaic requires those to be 8/128-divisible or equal
+        # to the array dims; a (bt, 1, 4P) layout would put the 1-of-M in
+        # the sublane slot and fail to lower.
         out_specs=pl.BlockSpec(
-            (bt, 1, _FRAMES_PER_BLOCK, n_pairs),
-            lambda i, m: (i, m, 0, 0), memory_space=pltpu.VMEM),
+            (1, bt, _FRAMES_PER_BLOCK * n_pairs),
+            lambda i, m: (m, i, 0), memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct(
-            (b, m_blocks, _FRAMES_PER_BLOCK, n_pairs), jnp.float32),
+            (m_blocks, b, _FRAMES_PER_BLOCK * n_pairs), jnp.float32),
         interpret=interpret,
-    )(xs, t_re, t_im, wf)
+    )(xs, t_re, t_im, wf).swapaxes(0, 1).reshape(
+        b, m_blocks, _FRAMES_PER_BLOCK, n_pairs)
 
 
 def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
@@ -264,23 +301,28 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
     d_s = d_s * mask
     d_re = 2.0 * out_re * d_s
     d_im = 2.0 * out_im * d_s
-    xt = x.astype(jnp.float32).T
-    dtre_ref[:] += jnp.dot(xt, d_re, preferred_element_type=jnp.float32)
-    dtim_ref[:] += jnp.dot(xt, d_im, preferred_element_type=jnp.float32)
+    # dT matmuls run at the COMPUTE dtype (the accumulators stay f32 via
+    # preferred_element_type + the f32 out refs). Under bf16 compute this
+    # is single-pass MXU instead of the multipass decomposition f32 inputs
+    # force — ~3× on the dominant backward matmuls; the extra cotangent
+    # rounding is the same order as the bf16 forward's own noise. f32
+    # compute keeps full f32 operands (parity checks run that path).
+    xt = x.T
+    dtre_ref[:] += jnp.dot(xt, d_re.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
+    dtim_ref[:] += jnp.dot(xt, d_im.astype(x.dtype),
+                           preferred_element_type=jnp.float32)
 
 
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
-def _run_bwd_group(xs, bank_re, bank_im, windows_g, d_pad_g, t_len, stride,
+def _run_bwd_group(xs, t_re, t_im, windows_g, d_pad_g, k, t_len, stride,
                    pad_l, n_frames, interpret):
     m_blocks, b, _ = xs.shape
-    k = bank_re.shape[0]
-    n_pairs = bank_re.shape[1]
+    n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
 
-    t_re = _toeplitz_weights(bank_re, xs.dtype)
-    t_im = _toeplitz_weights(bank_im, xs.dtype)
     wf = _flat_windows(windows_g)
 
     kern = functools.partial(
@@ -319,11 +361,12 @@ def _run_bwd_group(xs, bank_re, bank_im, windows_g, d_pad_g, t_len, stride,
         interpret=interpret,
     )(xs, t_re, t_im, wf, d_pad_g)
 
-    d_re = _fold_toeplitz_grad(dtre, k, n_pairs)
-    d_im = _fold_toeplitz_grad(dtim, k, n_pairs)
+    # Toeplitz cotangents returned UNfolded (SLAB, 128, P) — the caller
+    # concatenates all groups/banks and folds once.
     # unflatten dW: dwf[0, (k+_WMARGIN)·P + p] → (P, K)
     d_win = dwf.reshape(_WPAD, n_pairs)[_WMARGIN:_WMARGIN + k].T
-    return d_re, d_im, d_win
+    return (dtre.reshape(_SLAB, _POS_BLOCK, n_pairs),
+            dtim.reshape(_SLAB, _POS_BLOCK, n_pairs), d_win)
 
 
 # ------------------------------------------------------------- public API
@@ -338,31 +381,35 @@ def _prep(x, pad):
     return _unfold(xp, m_blocks), t, m_blocks
 
 
-# Pair-group size MUST divide every dynamic lane offset into a multiple of
-# 128: offsets are (off + 128)·P with off = 128m − stride·fr + pad_l, all
-# terms divisible by 8 — P=16 makes 16·off a multiple of 128 STATICALLY
-# (Mosaic must prove alignment at compile time; P=20 fails on pad_l·P).
-_PAIR_GROUP = 16
+# Pair-group sizes MUST make every dynamic lane offset a multiple of 128:
+# offsets are (off + _WMARGIN)·P with off + _WMARGIN ≡ 0 (mod 16) always
+# (see _WMARGIN), so any P that is a multiple of 8 gives 16·P ≡ 0 (mod 128)
+# STATICALLY (Mosaic must prove alignment at compile time; P=20 fails).
+# The forward runs up to 24 pairs per kernel: VMEM is T_re/T_im (bf16,
+# 2×528·128·P) PLUS the kernel's live f32 (Bt, 128·P) intermediates
+# (out_re/out_im) — P=40 measures 16.96 MB against the 16 MB scoped limit
+# at Bt=128, P=24 ≈ 10.4 MB. LEAF's F=40 → groups [24, 16], zero padding
+# waste. The backward is capped at 8 by its f32 dT accumulators.
+_FWD_MAX_PAIRS = 24
 
 
-def _split_pairs(gabor, windows, pairs_per_group):
-    """Split (and zero-pad) the F pairs into groups of exactly
-    ``pairs_per_group``; zero channels produce zero outputs/grads."""
-    k, c = gabor.shape
-    f = c // 2
+def _pair_groups(f, max_pairs):
+    """[(g0, g1, P)]: channel ranges in chunks of ≤max_pairs, each padded
+    up to the next multiple of 8 (zero channels → zero outputs/grads)."""
     groups = []
-    for g0 in range(0, f, pairs_per_group):
-        g1 = min(g0 + pairs_per_group, f)
-        b_re = gabor[:, g0:g1]
-        b_im = gabor[:, f + g0:f + g1]
-        win = windows[g0:g1]
-        pad_n = pairs_per_group - (g1 - g0)
-        if pad_n:
-            b_re = jnp.pad(b_re, ((0, 0), (0, pad_n)))
-            b_im = jnp.pad(b_im, ((0, 0), (0, pad_n)))
-            win = jnp.pad(win, ((0, pad_n), (0, 0)))
-        groups.append((b_re, b_im, win, (g0, g1)))
+    g0 = 0
+    while g0 < f:
+        g1 = min(g0 + max_pairs, f)
+        groups.append((g0, g1, -(-(g1 - g0) // 8) * 8))
+        g0 = g1
     return groups
+
+
+def _pad_pairs(windows_g, pad_to):
+    if windows_g.shape[0] < pad_to:
+        windows_g = jnp.pad(
+            windows_g, ((0, pad_to - windows_g.shape[0]), (0, 0)))
+    return windows_g
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
@@ -402,47 +449,58 @@ def _fused_fwd(x, gabor, windows, stride, pad, interpret):
     xs, t, m_blocks = _prep(x, pad)
     n_frames = lowpass_frames_out(t, stride, gabor.shape[0], pad)
     f = gabor.shape[1] // 2
+    tfull = _toeplitz_full(gabor, x.dtype)  # one gather for all channels
     outs = []
-    for b_re, b_im, win_g, (g0, g1) in _split_pairs(gabor, windows,
-                                                    _PAIR_GROUP):
-        part = _run_fwd_group(xs, b_re, b_im, win_g, t, stride, pad[0],
+    for g0, g1, p in _pair_groups(f, _FWD_MAX_PAIRS):
+        t_re = _slice_toeplitz(tfull, g0, g1, p)
+        t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
+        win_g = _pad_pairs(windows[g0:g1], p)
+        part = _run_fwd_group(xs, t_re, t_im, win_g, t, stride, pad[0],
                               n_frames, interpret)
         outs.append(_combine_partials(part, m_blocks, stride, pad[0],
                                       n_frames)[..., :g1 - g0])
     out = jnp.concatenate(outs, axis=-1)
-    return out, (x, gabor, windows)
+    # Residuals carry the unfolded slabs + Toeplitz bank so the backward
+    # re-runs neither the unfold gather nor the Toeplitz build (pure
+    # recompute of the matmuls stays in-kernel where it is MXU-cheap).
+    return out, (x, xs, tfull, gabor, windows)
 
 
 def _fused_bwd(stride, pad, interpret, res, d_out):
-    x, gabor, windows = res
-    xs, t, m_blocks = _prep(x, pad)
+    x, xs, tfull, gabor, windows = res
     k, c = gabor.shape
+    f = c // 2
+    t = x.shape[1]
+    m_blocks = xs.shape[0]
     n_frames = lowpass_frames_out(t, stride, k, pad)
 
     fr_ids = (_frame_min_np(m_blocks, stride, pad[0])[:, None]
               + np.arange(_FRAMES_PER_BLOCK)[None, :])
     fr_safe = np.where(fr_ids < n_frames, fr_ids, 0)
     mask = jnp.asarray((fr_ids < n_frames)[None, :, :, None])
-    d_out = d_out.astype(jnp.float32)
+    # Slot-expand the output cotangent ONCE for all channels; groups slice.
+    d_all = d_out.astype(jnp.float32)[:, jnp.asarray(fr_safe.reshape(-1)), :]
+    d_all = jnp.where(
+        mask, d_all.reshape(d_out.shape[0], m_blocks, _FRAMES_PER_BLOCK, f),
+        0.0)
 
     d_res, d_ims, d_wins = [], [], []
-    for b_re, b_im, win_g, (g0, g1) in _split_pairs(gabor, windows,
-                                                    _BWD_PAIR_GROUP):
-        d_g = d_out[:, :, g0:g1]
-        if g1 - g0 < _BWD_PAIR_GROUP:
-            d_g = jnp.pad(d_g, ((0, 0), (0, 0),
-                                (0, _BWD_PAIR_GROUP - (g1 - g0))))
-        d_pad = d_g[:, jnp.asarray(fr_safe.reshape(-1)), :].reshape(
-            d_out.shape[0], m_blocks, _FRAMES_PER_BLOCK, _BWD_PAIR_GROUP)
-        d_pad = jnp.where(mask, d_pad, 0.0)
-        dr, di, dw = _run_bwd_group(xs, b_re, b_im, win_g, d_pad, t, stride,
-                                    pad[0], n_frames, interpret)
-        d_res.append(dr[:, :g1 - g0])
-        d_ims.append(di[:, :g1 - g0])
+    for g0, g1, p in _pair_groups(f, _BWD_PAIR_GROUP):
+        t_re = _slice_toeplitz(tfull, g0, g1, p)
+        t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
+        win_g = _pad_pairs(windows[g0:g1], p)
+        d_pad = d_all[..., g0:g1]
+        if g1 - g0 < p:
+            d_pad = jnp.pad(
+                d_pad, ((0, 0), (0, 0), (0, 0), (0, p - (g1 - g0))))
+        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_pad, k, t,
+                                    stride, pad[0], n_frames, interpret)
+        d_res.append(dr[..., :g1 - g0])
+        d_ims.append(di[..., :g1 - g0])
         d_wins.append(dw[:g1 - g0])
-    d_gabor = jnp.concatenate(
-        [jnp.concatenate(d_res, axis=1), jnp.concatenate(d_ims, axis=1)],
-        axis=1).astype(gabor.dtype)
+    # One diagonal-sum fold over every group and both banks.
+    d_t_all = jnp.concatenate(d_res + d_ims, axis=2)  # (SLAB, 128, 2F)
+    d_gabor = _fold_toeplitz_grad(d_t_all, k).astype(gabor.dtype)
     d_windows = jnp.concatenate(d_wins, axis=0).astype(windows.dtype)
     return jnp.zeros_like(x), d_gabor, d_windows
 
