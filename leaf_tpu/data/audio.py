@@ -32,16 +32,14 @@ if not HAS_SOUNDFILE:
     from scipy.io import wavfile as _scipy_wavfile
 
 
-def _read_wav_scipy(f, frames: int = -1, start: int = 0):
+def _read_wav_scipy(f, frames: int = -1, start: int = 0,
+                    dtype: str = "float32"):
     sr, data = _scipy_wavfile.read(f)
-    if data.dtype == np.int16:
-        data = data.astype(np.float32) / 32768.0
-    elif data.dtype == np.int32:
-        data = data.astype(np.float32) / 2147483648.0
-    elif data.dtype == np.uint8:
-        data = (data.astype(np.float32) - 128.0) / 128.0
+    if dtype == "int16":
+        if data.dtype != np.int16:  # rare non-16-bit WAV: quantize
+            data = _to_int16(_pcm_to_float(data))
     else:
-        data = data.astype(np.float32)
+        data = _pcm_to_float(data)
     if frames != -1:
         data = data[start:start + frames]
     elif start:
@@ -49,12 +47,28 @@ def _read_wav_scipy(f, frames: int = -1, start: int = 0):
     return data, sr
 
 
-def _read(f, frames: int = -1, start: int = 0):
-    """Dispatch to soundfile or the scipy WAV fallback."""
+def _pcm_to_float(data: np.ndarray) -> np.ndarray:
+    if data.dtype == np.int16:
+        return data.astype(np.float32) / 32768.0
+    if data.dtype == np.int32:
+        return data.astype(np.float32) / 2147483648.0
+    if data.dtype == np.uint8:
+        return (data.astype(np.float32) - 128.0) / 128.0
+    return data.astype(np.float32)
+
+
+def _to_int16(x: np.ndarray) -> np.ndarray:
+    return np.clip(x * 32768.0, -32768, 32767).astype(np.int16)
+
+
+def _read(f, frames: int = -1, start: int = 0, dtype: str = "float32"):
+    """Dispatch to soundfile or the scipy WAV fallback. dtype='int16'
+    decodes to raw PCM int16 (libsndfile converts natively)."""
     if HAS_SOUNDFILE:
-        x, sr = _sf.read(f, frames=frames, start=start)
+        x, sr = _sf.read(f, frames=frames, start=start,
+                         dtype="int16" if dtype == "int16" else "float64")
         return x, sr
-    return _read_wav_scipy(f, frames=frames, start=start)
+    return _read_wav_scipy(f, frames=frames, start=start, dtype=dtype)
 
 
 def _tile_pad(x: np.ndarray, min_samples: Optional[int]) -> np.ndarray:
@@ -67,8 +81,16 @@ def _tile_pad(x: np.ndarray, min_samples: Optional[int]) -> np.ndarray:
 
 def load_audio(f, sr: int, min_duration: Optional[float] = 5.0,
                read_cropped: bool = False, frames_to_read: int = -1,
-               audio_size: Optional[int] = None) -> np.ndarray:
-    """Read a mono waveform as float32 (T,). Reference: utils.py:88-116."""
+               audio_size: Optional[int] = None,
+               dtype: str = "float32") -> np.ndarray:
+    """Read a mono waveform (T,). Reference: utils.py:88-116.
+
+    dtype='float32' (default) matches the reference exactly;
+    dtype='int16' keeps the decoder's raw PCM — 4× smaller in host RAM and
+    on the host→device wire; dividing by 32768 on device reproduces the
+    float path bit-for-bit for 16-bit sources (see
+    leaf_tpu.training.steps.waveform_from_wire).
+    """
     min_samples = int(sr * min_duration) if min_duration is not None else None
     if read_cropped:
         assert audio_size
@@ -77,13 +99,20 @@ def load_audio(f, sr: int, min_duration: Optional[float] = 5.0,
             start_idx = 0
         else:
             start_idx = random.randint(0, audio_size - frames_to_read - 1)
-        x, clip_sr = _read(f, frames=frames_to_read, start=start_idx)
+        x, clip_sr = _read(f, frames=frames_to_read, start=start_idx,
+                           dtype=dtype)
         min_samples = frames_to_read
     else:
-        x, clip_sr = _read(f)
-    x = np.asarray(x, dtype=np.float32)
-    if x.ndim > 1:  # stereo → mono (average), matching sf.read squeeze usage
-        x = x.mean(axis=-1)
+        x, clip_sr = _read(f, dtype=dtype)
+    if dtype == "int16":
+        x = np.asarray(x)
+        if x.ndim > 1:  # stereo → mono (average) without leaving int16
+            x = x.mean(axis=-1, dtype=np.float32)
+            x = np.clip(x, -32768, 32767).astype(np.int16)
+    else:
+        x = np.asarray(x, dtype=np.float32)
+        if x.ndim > 1:  # stereo → mono (average), matching sf.read usage
+            x = x.mean(axis=-1)
     assert clip_sr == sr, f"sample rate mismatch: file {clip_sr} != cfg {sr}"
     return _tile_pad(x, min_samples)
 

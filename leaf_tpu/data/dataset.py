@@ -82,7 +82,7 @@ class RawWaveformDataset(_AudioConfigMixin):
                  mixer: Optional[Callable] = None,
                  transform: Optional[Callable] = None,
                  is_val: bool = False, cropped_read: bool = False,
-                 in_memory: bool = False):
+                 in_memory: bool = False, wire_dtype: str = "float32"):
         import pandas as pd
         assert audio_config is not None
         self.mode = mode
@@ -92,6 +92,18 @@ class RawWaveformDataset(_AudioConfigMixin):
         self.is_val = is_val
         self._load_labels_map(labels_map)
         self._parse_audio_config(audio_config, cropped_read, delimiter)
+        # wire_dtype='int16' keeps waveforms as raw PCM on the host (4×
+        # smaller cache + host→device transfers; the jitted steps upscale
+        # with waveform_from_wire, bit-identical for 16-bit sources). Only
+        # valid when host-side processing is scale-equivariant: crop/pad
+        # transforms are, per-clip N(0,1) normalization is not.
+        assert wire_dtype in ("float32", "int16"), wire_dtype
+        if wire_dtype == "int16" and self.normalize:
+            raise ValueError(
+                "wire_dtype='int16' is incompatible with "
+                "audio_config.normalize=True (per-clip normalization needs "
+                "float waveforms on the host)")
+        self.wire_dtype = wire_dtype
         df = pd.read_csv(manifest_path)
         self.files: List[str] = df["files"].values.tolist()
         self.labels = df["labels"].values.tolist()
@@ -124,7 +136,8 @@ class RawWaveformDataset(_AudioConfigMixin):
             return audio, label
         audio = load_audio(self.files[index], self.sr, self.min_duration,
                            read_cropped=self.cropped_read and not self.is_val,
-                           frames_to_read=self.num_frames, audio_size=dur)
+                           frames_to_read=self.num_frames, audio_size=dur,
+                           dtype=self.wire_dtype)
         if self.normalize:
             audio = normalize_waveform(audio)
         # Cache AFTER normalization so cache hits see the exact same

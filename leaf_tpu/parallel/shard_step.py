@@ -29,7 +29,7 @@ from jax.experimental.shard_map import shard_map
 
 from leaf_tpu.training.state import TrainState
 from leaf_tpu.training.steps import (bce_logits_loss, cross_entropy_loss,
-                                     mixup)
+                                     mixup, waveform_from_wire)
 
 __all__ = ["make_shard_map_train_step"]
 
@@ -45,6 +45,7 @@ def make_shard_map_train_step(
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
 
     def per_shard(state: TrainState, x, y, rng):
+        x = waveform_from_wire(x)  # int16 wire batches → float32 (exact)
         # distinct augment/mixup randomness per shard
         shard_rng = jax.random.fold_in(rng, lax.axis_index("data"))
         step_rng = jax.random.fold_in(shard_rng, state.step)

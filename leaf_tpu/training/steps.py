@@ -28,7 +28,21 @@ import optax
 from leaf_tpu.training.state import TrainState
 
 __all__ = ["cross_entropy_loss", "bce_logits_loss", "mixup",
-           "make_train_step", "make_eval_step"]
+           "make_train_step", "make_eval_step", "waveform_from_wire"]
+
+
+def waveform_from_wire(x: jnp.ndarray) -> jnp.ndarray:
+    """Decode int16 wire batches to float32 in [-1, 1) on device.
+
+    The host pipeline can ship waveforms as raw int16 PCM (4× less
+    host→device traffic and host cache RAM than float32 — see
+    RawWaveformDataset ``wire_dtype``); the scale 1/32768 is exactly what
+    every decode backend applies for int16 sources, so the result is
+    bit-identical to the float32 wire path. Float inputs pass through.
+    """
+    if x.dtype == jnp.int16:
+        return x.astype(jnp.float32) * (1.0 / 32768.0)
+    return x
 
 
 def cross_entropy_loss(logits: jnp.ndarray, labels: jnp.ndarray) -> jnp.ndarray:
@@ -95,6 +109,7 @@ def make_train_step(
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray,
              rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        x = waveform_from_wire(x)
         step_rng = jax.random.fold_in(rng, state.step)
         rng_mix, rng_drop, rng_aug = jax.random.split(step_rng, 3)
         if augment_fn is not None:
@@ -161,6 +176,7 @@ def make_eval_step(model_type: str = "multiclass") -> Callable:
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
 
     def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+        x = waveform_from_wire(x)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)

@@ -459,3 +459,65 @@ class TestPackedLoader:
         assert len(batches) == 1
         x, y = batches[0]
         assert x.shape == (8, SR) and y.shape == (8,)
+
+
+class TestInt16Wire:
+    """wire_dtype='int16': raw-PCM host pipeline (4× less transfer/cache),
+    decoded on device by leaf_tpu.training.steps.waveform_from_wire —
+    bit-identical to the float32 path for 16-bit sources."""
+
+    def test_int16_load_matches_float_exactly(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "normalize": False, "min_duration": 1}
+        dsf = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass")
+        dsi = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                 wire_dtype="int16")
+        for i in range(len(dsf)):
+            xf, yf = dsf[i]
+            xi, yi = dsi[i]
+            assert xi.dtype == np.int16 and yf == yi
+            np.testing.assert_array_equal(
+                xi.astype(np.float32) * (1.0 / 32768.0), xf)
+
+    def test_collate_preserves_int16(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "normalize": False, "min_duration": 1}
+        ds = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                wire_dtype="int16")
+        x, y = collate_fixed([ds[0], ds[1]], target_len=SR)
+        assert x.dtype == np.int16 and x.shape == (2, SR)
+        assert y.dtype == np.int32
+
+    def test_int16_with_normalize_raises(self, wav_dir):
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "normalize": True, "min_duration": 1}
+        with pytest.raises(ValueError, match="int16"):
+            RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                               wire_dtype="int16")
+
+    def test_crop_transforms_int16_safe(self, wav_dir):
+        from leaf_tpu.data.transforms import leaf_host_crop_transforms
+        root, manifest, lbl_map = wav_dir
+        ac = {"sample_rate": SR, "normalize": False, "min_duration": 1}
+        tf = leaf_host_crop_transforms(False, SR)  # deterministic val path
+        dsf = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                 transform=tf)
+        dsi = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                 transform=tf, wire_dtype="int16")
+        for i in range(3):
+            xf, _ = dsf[i]
+            xi, _ = dsi[i]
+            assert xi.dtype == np.int16 and xi.shape == xf.shape
+            np.testing.assert_array_equal(
+                xi.astype(np.float32) * (1.0 / 32768.0), xf)
+
+    def test_waveform_from_wire_device_decode(self):
+        import jax.numpy as jnp
+        from leaf_tpu.training.steps import waveform_from_wire
+        x16 = np.array([[-32768, -1, 0, 1, 32767]], np.int16)
+        out = waveform_from_wire(jnp.asarray(x16))
+        assert out.dtype == jnp.float32
+        np.testing.assert_array_equal(
+            np.asarray(out), x16.astype(np.float32) / 32768.0)
+        xf = jnp.ones((2, 4), jnp.float32)
+        assert waveform_from_wire(xf) is xf

@@ -248,6 +248,21 @@ class TestSteps:
         assert losses[-1] < losses[0], losses  # memorizing 4 samples
         assert np.isfinite(losses).all()
 
+    def test_train_step_int16_wire_matches_float(self):
+        # int16 wire batches (waveform_from_wire in-step decode) must give
+        # the SAME loss as the float32 path — the scale 1/32768 is exact.
+        state_f, _ = _tiny_classifier_state()
+        state_i, _ = _tiny_classifier_state()
+        step = make_train_step("multiclass", donate=False)
+        x16 = (np.clip(np.random.RandomState(3).randn(4, 16000) * 0.1,
+                       -1, 1) * 32768).clip(-32768, 32767).astype(np.int16)
+        xf = jnp.asarray(x16.astype(np.float32) / 32768.0)
+        y = jnp.array([0, 1, 2, 3])
+        rng = jax.random.PRNGKey(7)
+        state_f, mf = step(state_f, xf, y, rng)
+        state_i, mi = step(state_i, jnp.asarray(x16), y, rng)
+        assert float(mf["loss"]) == float(mi["loss"])
+
     def test_train_step_watch_norms(self):
         """wandb.watch(model) equivalent (reference train_xla.py:243-244):
         watch_norms=True must add finite, positive global + per-submodule

@@ -65,6 +65,13 @@ def parse_args():
                    help="log global + per-submodule param/grad L2 norms "
                         "every log_steps (the reference's "
                         "wandb.watch(model), train_xla.py:243-244)")
+    p.add_argument("--wire_dtype", choices=("auto", "float32", "int16"),
+                   default="auto",
+                   help="host→device waveform format. 'int16' ships raw "
+                        "PCM (4× less transfer + cache RAM, decoded on "
+                        "device, bit-identical for 16-bit sources); 'auto' "
+                        "picks int16 whenever the host pipeline is "
+                        "scale-equivariant (crop/pad only)")
     p.add_argument("--bf16", action="store_true",
                    help="run the model in bfloat16 compute (fp32 params)")
     p.add_argument("--profile_dir", type=str, default=None)
@@ -157,10 +164,21 @@ def train(args):
         tr_tfs = leaf_host_crop_transforms(True, tr_clip)
         val_tfs = leaf_host_crop_transforms(False, val_clip)
     ds_cls = PackedDataset if args.use_packed_dataset else RawWaveformDataset
+    wire = args.wire_dtype
+    if wire == "auto":
+        # int16 wire needs every host-side op to be scale-equivariant:
+        # true for the default crop-only pipeline, not for host-side
+        # gain/noise/normalization (packed shards decode via the float
+        # byte-reader and keep float32).
+        wire = ("int16" if (not args.use_packed_dataset and not args.host_aug
+                            and not args.high_aug
+                            and not ac.get("normalize", False))
+                else "float32")
     if args.use_packed_dataset:
         extra = {"gcs_bucket_path": args.gcs_bucket_name}
     else:
-        extra = {"in_memory": bool(cfg["data"].get("in_memory", False))}
+        extra = {"in_memory": bool(cfg["data"].get("in_memory", False)),
+                 "wire_dtype": wire}
     train_set = ds_cls(cfg["data"]["train"], cfg["data"]["labels"], ac,
                        mode=mode, delimiter=args.labels_delimiter,
                        transform=tr_tfs, cropped_read=args.cropped_read,
@@ -250,15 +268,23 @@ def train(args):
                 for _ in range(5):
                     state, _ = train_step(state, xb, yb, step_rng)
             logger.print(f"profiler trace written to {args.profile_dir}")
+        # Async host→device feed (MpDeviceLoader equivalent, reference
+        # train_xla.py:195-196): upload batch N+1 while batch N computes.
+        from leaf_tpu.data.loader import prefetch_to_device
+
+        def place(batch):
+            bx, by = batch
+            return (shard_batch(mesh, jnp.asarray(bx)),
+                    shard_batch(mesh, jnp.asarray(by)))
+
         best_val = -1.0
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
             tracker = RateTracker()
             ep_loss = ep_correct = ep_count = None
             t0 = time.time()
-            for bi, (x, y) in enumerate(train_loader):
-                xb = shard_batch(mesh, jnp.asarray(x))
-                yb = shard_batch(mesh, jnp.asarray(y))
+            for bi, (xb, yb) in enumerate(
+                    prefetch_to_device(iter(train_loader), place)):
                 state, metrics = train_step(state, xb, yb, step_rng)
                 # accumulate ON DEVICE — no per-step host sync
                 if ep_loss is None:
@@ -269,7 +295,7 @@ def train(args):
                     ep_loss = ep_loss + metrics["loss"]
                     ep_correct = ep_correct + metrics["correct"]
                     ep_count = ep_count + metrics["count"]
-                tracker.add(x.shape[0])
+                tracker.add(xb.shape[0])
                 if bi % args.log_steps == 0:
                     logger.print(
                         f"epoch {epoch} step {bi}/{steps_per_epoch} "
@@ -288,12 +314,12 @@ def train(args):
             # --------------------------------------------------- validation
             v_loss = v_correct = v_count = 0.0
             outputs, gts = [], []
-            for x, y in val_loader:
-                xb = shard_batch(mesh, jnp.asarray(x))
-                yb = shard_batch(mesh, jnp.asarray(y))
+            for xb, yb in prefetch_to_device(iter(val_loader), place):
                 if val_needs_norm:
                     # the split pipeline's val PeakNormalization, on device
-                    xb = peak_normalize(xb)
+                    # (int16 wire batches decode to float first)
+                    from leaf_tpu.training.steps import waveform_from_wire
+                    xb = peak_normalize(waveform_from_wire(xb))
                 m = eval_step(state, xb, yb)
                 v_loss += float(m["loss"])
                 v_correct += int(m["correct"])
