@@ -24,19 +24,28 @@ __all__ = ["save_checkpoint", "load_checkpoint", "best_checkpoint",
            "save_hparams", "load_hparams", "load_pretrained_frontend",
            "load_pretrained_backbone", "apply_pretrained_frontend"]
 
-_CKPT_RE = re.compile(r"^epoch_(\d+)$")
+_CKPT_RE = re.compile(r"^epoch_(\d+)(_preempt)?$")
 
 
-def _ckpt_dir(exp_dir: str, epoch: int) -> str:
-    return os.path.join(os.path.abspath(exp_dir), f"epoch_{epoch:03d}")
+def _ckpt_dir(exp_dir: str, epoch: int, suffix: str = "") -> str:
+    return os.path.join(os.path.abspath(exp_dir),
+                        f"epoch_{epoch:03d}{suffix}")
 
 
 def save_checkpoint(exp_dir: str, state, epoch: int,
                     tr_loss: float, tr_acc: float, val_acc: float,
-                    scheduler_state: Optional[dict] = None) -> str:
+                    scheduler_state: Optional[dict] = None,
+                    dir_suffix: str = "", meta_epoch: Optional[int] = None
+                    ) -> str:
     """Write state + metrics for one epoch. Only process 0 writes metadata
-    (orbax handles multi-host array gathering itself)."""
-    path = _ckpt_dir(exp_dir, epoch)
+    (orbax handles multi-host array gathering itself).
+
+    ``dir_suffix='_preempt'`` + ``meta_epoch=epoch-1`` is the mid-epoch
+    preemption save: the directory carries the interrupted epoch's number
+    (so ``latest_checkpoint`` orders it after the last completed epoch),
+    while the metadata epoch makes resume REDO the interrupted epoch;
+    its val_acc of -1 keeps it out of ``best_checkpoint``."""
+    path = _ckpt_dir(exp_dir, epoch, dir_suffix)
     ckptr = ocp.StandardCheckpointer()
     target = {
         "step": state.step,
@@ -47,7 +56,8 @@ def save_checkpoint(exp_dir: str, state, epoch: int,
     ckptr.save(os.path.join(path, "state"), target, force=True)
     ckptr.wait_until_finished()
     if jax.process_index() == 0:
-        meta = {"epoch": epoch, "tr_loss": float(tr_loss),
+        meta = {"epoch": epoch if meta_epoch is None else meta_epoch,
+                "tr_loss": float(tr_loss),
                 "tr_acc": float(tr_acc), "val_acc": float(val_acc)}
         if scheduler_state is not None:
             meta["scheduler"] = scheduler_state
@@ -103,10 +113,13 @@ def latest_checkpoint(exp_dir: str) -> Optional[str]:
     for name in os.listdir(exp_dir):
         m = _CKPT_RE.match(name)
         if m and os.path.exists(os.path.join(exp_dir, name, "meta.json")):
-            epochs.append((int(m.group(1)), name))
+            # A completed epoch_N outranks epoch_N_preempt (same number):
+            # the preempt save was mid-epoch-N; once N completed, its
+            # snapshot is strictly newer.
+            epochs.append((int(m.group(1)), 0 if m.group(2) else 1, name))
     if not epochs:
         return None
-    return os.path.join(exp_dir, max(epochs)[1])
+    return os.path.join(exp_dir, max(epochs)[2])
 
 
 def best_checkpoint(exp_dir: str, key: str = "val_acc") -> Optional[str]:

@@ -277,6 +277,23 @@ def train(args):
             return (shard_batch(mesh, jnp.asarray(bx)),
                     shard_batch(mesh, jnp.asarray(by)))
 
+        # Preemption safety (↑ over the reference, which has no handling —
+        # SURVEY §5 "failure detection": resume was manual-only): on
+        # SIGTERM (what TPU-VM maintenance/preemption delivers), finish the
+        # in-flight step, checkpoint mid-epoch as epoch_{e:03d}_preempt
+        # with meta epoch e-1, and exit 0 so `--continue_from_ckpt latest`
+        # redoes the interrupted epoch on the next boot.
+        import signal
+        preempted = []
+
+        def _on_sigterm(signum, frame):
+            preempted.append(signum)
+
+        try:
+            signal.signal(signal.SIGTERM, _on_sigterm)
+        except ValueError:  # not the main thread (e.g. driven from a test)
+            pass
+
         best_val = -1.0
         for epoch in range(start_epoch, args.epochs):
             train_loader.set_epoch(epoch)
@@ -306,6 +323,18 @@ def train(args):
                             {f"watch/{k}": float(v)
                              for k, v in metrics.items() if "norm" in k},
                             step=epoch * steps_per_epoch + bi)
+                if preempted:
+                    sched_state = (plateau.state_dict()
+                                   if plateau is not None else None)
+                    path = save_checkpoint(
+                        args.expdir, state, epoch, float(metrics["loss"]),
+                        -1.0, -1.0, scheduler_state=sched_state,
+                        dir_suffix="_preempt", meta_epoch=epoch - 1)
+                    logger.print(
+                        f"SIGTERM: checkpointed mid-epoch {epoch} step {bi} "
+                        f"to {path}; resume with --continue_from_ckpt latest")
+                    logger.close()
+                    return best_val
             n_steps = bi + 1
             tr_loss = float(ep_loss) / n_steps
             tr_acc = (float(ep_correct) / max(1, int(ep_count))
