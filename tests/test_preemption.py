@@ -21,8 +21,9 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SR = 16000
 
 
-@pytest.fixture
-def tiny_exp(tmp_path):
+def make_tiny_exp(tmp_path, lbl_name="lbl.json"):
+    """Tiny on-disk experiment: 24 tone WAVs, 3 classes, cifar_resnet20
+    cfg with 0.25 s clips — shared by the preemption and evaluate tests."""
     from leaf_tpu.data.audio import write_wav
     rng = np.random.RandomState(0)
     files, labels = [], []
@@ -40,7 +41,7 @@ def tiny_exp(tmp_path):
         tmp_path / "train.csv", index=False)
     pd.DataFrame({"files": files[:6], "labels": labels[:6]}).to_csv(
         tmp_path / "val.csv", index=False)
-    (tmp_path / "lbl.json").write_text(
+    (tmp_path / lbl_name).write_text(
         json.dumps({f"class{i}": i for i in range(3)}))
     cfg = f"""frontend:
     name: leaf
@@ -71,10 +72,15 @@ data:
     train_manifest: train.csv
     val_manifest: val.csv
     test_manifest: None
-    label_map: lbl.json
+    label_map: {lbl_name}
 """
     (tmp_path / "cfg.cfg").write_text(cfg)
     return tmp_path
+
+
+@pytest.fixture
+def tiny_exp(tmp_path):
+    return make_tiny_exp(tmp_path)
 
 
 def _run_args(tmp_path, expdir, epochs, extra=()):
