@@ -1,0 +1,152 @@
+"""Serving: AOT-exported, weight-embedded inference artifacts.
+
+The reference has no serving story — deployment means "load the training
+checkpoint into torch and call forward" (reference README.md:94-114).
+Production TPU serving wants the opposite: a self-contained artifact that
+(a) embeds the weights, (b) is compiled ahead of time for fixed batch
+shapes so the serving process never traces Python, and (c) survives
+process/framework-version boundaries. This module provides that via
+``jax.export`` (serialized StableHLO):
+
+    save_exported(dir, cfg, variables)      # writes model_b{N}.jaxexport
+    model = ServingModel.load(dir)          # no Flax/model code needed
+    logits = model(waveforms)               # (B, T) → (B, num_classes)
+
+Batching: artifacts are exported per batch-size bucket; ``__call__`` pads
+the request up to the smallest bucket ≥ B and slices the result back —
+the same static-shape discipline the training stack uses (variable-length
+eval uses 1 s windows upstream, evaluate.py).
+
+Note: exporting ON a TPU embeds the fused Pallas frontend kernel (it is a
+TPU custom call); exporting on CPU (or with ``platforms=['cpu', 'tpu']``
+for a portable artifact) traces the pure-XLA path — identical numerics,
+see leaf_tpu/ops/fused_frontend.py parity tests.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Optional, Sequence, Tuple
+
+import numpy as np
+
+__all__ = ["save_exported", "ServingModel", "DEFAULT_BATCH_SIZES"]
+
+DEFAULT_BATCH_SIZES = (1, 8, 64)
+_MANIFEST = "serving.json"
+
+
+def _build_forward(cfg: dict, variables: dict):
+    import jax
+    import jax.numpy as jnp
+
+    from leaf_tpu.models import Classifier
+
+    model = Classifier(cfg=cfg)
+
+    def forward(waveforms):
+        return model.apply(variables, waveforms, train=False)
+
+    return jax.jit(forward)
+
+
+def save_exported(out_dir: str, cfg: dict, variables: dict,
+                  batch_sizes: Sequence[int] = DEFAULT_BATCH_SIZES,
+                  clip_samples: Optional[int] = None,
+                  platforms: Optional[Sequence[str]] = None) -> dict:
+    """Export weight-embedded inference artifacts for each batch bucket.
+
+    Args:
+      out_dir: directory to create/populate.
+      cfg: the experiment config (as from load_hparams / get_config).
+      variables: {'params': ..., 'batch_stats': ...} trained variables.
+      batch_sizes: ascending static batch buckets to compile.
+      clip_samples: input length (default: 1 s at the cfg sample rate —
+        the evaluate.py window size).
+      platforms: lowering platforms, e.g. ['cpu', 'tpu'] for a portable
+        artifact (default: the current backend only).
+
+    Returns the manifest dict (also written to serving.json).
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    sr = int(cfg["audio_config"]["sample_rate"])
+    t = int(clip_samples or sr)
+    batch_sizes = sorted(set(int(b) for b in batch_sizes))
+    os.makedirs(out_dir, exist_ok=True)
+
+    fwd = _build_forward(cfg, variables)
+    files = {}
+    num_classes = None
+    for b in batch_sizes:
+        spec = jax.ShapeDtypeStruct((b, t), jnp.float32)
+        exp = jexport.export(fwd, platforms=list(platforms)
+                             if platforms else None)(spec)
+        num_classes = exp.out_avals[0].shape[-1]
+        name = f"model_b{b}.jaxexport"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[str(b)] = name
+    manifest = {
+        "batch_sizes": batch_sizes,
+        "clip_samples": t,
+        "sample_rate": sr,
+        "num_classes": int(num_classes),
+        "files": files,
+        "model": {"arch": cfg["model"]["arch"],
+                  "model_depth": cfg["model"].get("model_depth")},
+    }
+    with open(os.path.join(out_dir, _MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class ServingModel:
+    """Loaded serving artifact: pad-to-bucket dispatch over AOT exports."""
+
+    def __init__(self, manifest: dict, exported: dict):
+        self.manifest = manifest
+        self._exported = exported  # batch_size → jax.export.Exported
+        self.batch_sizes = sorted(exported)
+        self.clip_samples = int(manifest["clip_samples"])
+
+    @classmethod
+    def load(cls, path: str) -> "ServingModel":
+        from jax import export as jexport
+        with open(os.path.join(path, _MANIFEST)) as f:
+            manifest = json.load(f)
+        exported = {}
+        for b, name in manifest["files"].items():
+            with open(os.path.join(path, name), "rb") as f:
+                exported[int(b)] = jexport.deserialize(f.read())
+        return cls(manifest, exported)
+
+    def _bucket(self, n: int) -> int:
+        for b in self.batch_sizes:
+            if b >= n:
+                return b
+        return self.batch_sizes[-1]
+
+    def __call__(self, waveforms) -> np.ndarray:
+        """(B, clip_samples) float32 → (B, num_classes) logits."""
+        import jax.numpy as jnp
+
+        x = np.asarray(waveforms, dtype=np.float32)
+        assert x.ndim == 2 and x.shape[1] == self.clip_samples, x.shape
+        n = x.shape[0]
+        outs = []
+        start = 0
+        largest = self.batch_sizes[-1]
+        while start < n:
+            take = min(largest, n - start)
+            b = self._bucket(take)
+            chunk = x[start:start + take]
+            if take < b:
+                chunk = np.pad(chunk, ((0, b - take), (0, 0)))
+            logits = self._exported[b].call(jnp.asarray(chunk))
+            outs.append(np.asarray(logits)[:take])
+            start += take
+        return np.concatenate(outs, axis=0)
