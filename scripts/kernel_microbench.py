@@ -11,7 +11,10 @@ Times (bs 256, 1 s @ 16 kHz, bf16 compute):
 so the XLA-side share (PCEN, filter gen, combine) and the bwd share are
 separable. Uses distinct buffers + chained accumulator (tunnel-safe).
 """
+import os
+import sys
 import time
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp

@@ -10,7 +10,9 @@ import gzip
 import json
 import os
 import shutil
+import os
 import sys
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax
 import jax.numpy as jnp
