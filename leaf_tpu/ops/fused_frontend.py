@@ -143,7 +143,11 @@ def _flat_windows(windows: jnp.ndarray) -> jnp.ndarray:
 def _unfold(xp: jnp.ndarray, m_blocks: int) -> jnp.ndarray:
     """(B, Tp) → (M, B, SLAB) overlapping slabs at stride 128 (XLA gather;
     ~4× the waveform bytes, still ≪ the intermediates this kernel kills).
-    M leads so Pallas blocks keep (B, SLAB) as the last two dims."""
+    M leads so Pallas blocks keep (B, SLAB) as the last two dims.
+
+    Unlike the Toeplitz build/fold, rewriting this as a 125-slice stack
+    measured NO faster (the gather's 528-element minor-dim runs stream
+    well); the gather stays."""
     idx = (np.arange(m_blocks)[:, None] * _POS_BLOCK
            + np.arange(_SLAB)[None, :])
     return xp[:, jnp.asarray(idx)].swapaxes(0, 1)
