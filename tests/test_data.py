@@ -521,3 +521,46 @@ class TestInt16Wire:
             np.asarray(out), x16.astype(np.float32) / 32768.0)
         xf = jnp.ones((2, 4), jnp.float32)
         assert waveform_from_wire(xf) is xf
+
+
+class TestPrefetchToDevice:
+    def test_order_and_completeness(self):
+        from leaf_tpu.data.loader import prefetch_to_device
+        items = list(range(20))
+        got = list(prefetch_to_device(iter(items), lambda x: x * 10, size=3))
+        assert got == [x * 10 for x in items]
+
+    def test_error_propagates(self):
+        from leaf_tpu.data.loader import prefetch_to_device
+
+        def place(x):
+            if x == 3:
+                raise RuntimeError("boom")
+            return x
+
+        gen = prefetch_to_device(iter(range(10)), place, size=2)
+        with pytest.raises(RuntimeError, match="boom"):
+            list(gen)
+
+    def test_bounded_inflight(self):
+        import threading
+        import time as _time
+        from leaf_tpu.data.loader import prefetch_to_device
+
+        placed = []
+        lock = threading.Lock()
+
+        def place(x):
+            with lock:
+                placed.append(x)
+            return x
+
+        gen = prefetch_to_device(iter(range(100)), place, size=2)
+        first = next(gen)
+        _time.sleep(0.2)  # feeder runs ahead only up to the queue bound
+        assert first == 0
+        with lock:
+            ahead = len(placed)
+        # consumed 1 + queue(2) + one blocked in q.put = at most 4-5
+        assert ahead <= 5, ahead
+        assert list(gen) == list(range(1, 100))
