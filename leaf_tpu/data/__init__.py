@@ -14,6 +14,7 @@ from leaf_tpu.data.loader import (
     DataLoader,
     ShardedSampler,
     collate_fixed,
+    prefetch_to_device,
     setup_dataloaders,
 )
 from leaf_tpu.data.transforms import (
@@ -33,6 +34,7 @@ __all__ = [
     "DataLoader",
     "ShardedSampler",
     "collate_fixed",
+    "prefetch_to_device",
     "setup_dataloaders",
     "leaf_supervised_transforms",
     "get_raw_transforms_v2",
