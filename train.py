@@ -77,6 +77,10 @@ def parse_args():
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu) before first use")
+    p.add_argument("--compilation_cache_dir", type=str,
+                   default=os.path.expanduser("~/.cache/leaf_tpu_xla"),
+                   help="persistent XLA compile cache (resume/restart "
+                        "skips recompiles); '' disables")
     p.add_argument("--multihost", action="store_true",
                    help="call jax.distributed.initialize() for multi-host "
                         "slices (coordinator from TPU env vars); each host "
@@ -89,6 +93,14 @@ def train(args):
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    if args.compilation_cache_dir:
+        # Persistent XLA compile cache: repeated runs (and especially
+        # preemption auto-resume, which restarts the process) skip the
+        # ~40 s train-step compile. Keyed by HLO hash — safe across cfgs.
+        os.makedirs(args.compilation_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.multihost:
         jax.distributed.initialize()
     import jax.numpy as jnp
