@@ -34,6 +34,9 @@ def parse_args():
     p.add_argument("--ckpt", type=str, default=None,
                    help="explicit checkpoint dir (default: best by val_acc)")
     p.add_argument("--platform", type=str, default=None)
+    p.add_argument("--compilation_cache_dir", type=str,
+                   default=os.path.expanduser("~/.cache/leaf_tpu_xla"),
+                   help="persistent XLA compile cache; '' disables")
     return p.parse_args()
 
 
@@ -53,6 +56,11 @@ def main(args):
         import jax
         jax.config.update("jax_platforms", args.platform)
     import jax
+    if args.compilation_cache_dir:
+        os.makedirs(args.compilation_cache_dir, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir",
+                          args.compilation_cache_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     import jax.numpy as jnp
 
     from leaf_tpu.data import RawWaveformDataset
