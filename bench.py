@@ -258,7 +258,9 @@ def bench_breakdown(batch: int = BATCH, steps: int = STEPS,
     total = flops + pallas_flops
     out["train_step_tflops_xla_counted"] = round(flops / 1e12, 3)
     out["train_step_tflops_incl_pallas"] = round(total / 1e12, 3)
-    if total and peak:
+    # MFU only when the XLA count succeeded — otherwise the total would be
+    # the frontend conv alone (plausible-looking but missing the backbone)
+    if flops and peak:
         out["mfu_vs_bf16_peak"] = round(total / (step_ms / 1e3) / peak, 4)
         out["device_kind"] = kind
     return out

@@ -88,8 +88,8 @@ def load_audio(f, sr: int, min_duration: Optional[float] = 5.0,
     dtype='float32' (default) matches the reference exactly;
     dtype='int16' keeps the decoder's raw PCM — 4× smaller in host RAM and
     on the host→device wire; dividing by 32768 on device reproduces the
-    float path bit-for-bit for 16-bit sources (see
-    leaf_tpu.training.steps.waveform_from_wire).
+    float path bit-for-bit for mono 16-bit sources (stereo mixes round to
+    the nearest LSB; see leaf_tpu.training.steps.waveform_from_wire).
     """
     min_samples = int(sr * min_duration) if min_duration is not None else None
     if read_cropped:
@@ -107,7 +107,9 @@ def load_audio(f, sr: int, min_duration: Optional[float] = 5.0,
     if dtype == "int16":
         x = np.asarray(x)
         if x.ndim > 1:  # stereo → mono (average) without leaving int16
-            x = x.mean(axis=-1, dtype=np.float32)
+            # nearest-int rounding: plain astype truncates toward zero,
+            # which would bias the mix vs the float path by up to 1 LSB
+            x = np.rint(x.mean(axis=-1, dtype=np.float32))
             x = np.clip(x, -32768, 32767).astype(np.int16)
     else:
         x = np.asarray(x, dtype=np.float32)

@@ -234,29 +234,54 @@ def prefetch_to_device(iterator, place_fn: Callable, size: int = 2):
     so host→device transfer overlaps device compute instead of serializing
     with it (transfers block the issuing thread on some backends; measured
     ~80 ms per 16 MB batch over the tunneled TPU). The bounded queue caps
-    in-flight device memory at ``size + 1`` batches.
+    in-flight device memory at ``size + 1`` batches. Abandoning the
+    generator early (break / exception / GeneratorExit — e.g. the SIGTERM
+    preemption path) stops the feeder and releases its queued device
+    buffers instead of leaving a thread blocked in ``q.put`` forever.
     """
     q: "queue.Queue" = queue.Queue(maxsize=max(1, size))
     sentinel = object()
     errors = []
+    stop = threading.Event()
+
+    def put_until_stop(item) -> bool:
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.2)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def feeder():
         try:
             for item in iterator:
-                q.put(place_fn(item))
+                if not put_until_stop(place_fn(item)):
+                    return
         except Exception as exc:  # surfaced in the consumer
             errors.append(exc)
         finally:
-            q.put(sentinel)
+            # The sentinel MUST be delivered while the consumer lives —
+            # dropping it on a momentarily-full queue would hang the
+            # consumer's q.get() at end of epoch.
+            put_until_stop(sentinel)
 
     threading.Thread(target=feeder, daemon=True).start()
-    while True:
-        item = q.get()
-        if item is sentinel:
-            if errors:
-                raise errors[0]
-            return
-        yield item
+    try:
+        while True:
+            item = q.get()
+            if item is sentinel:
+                if errors:
+                    raise errors[0]
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # drop queued batches so their buffers free
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def make_packed_collate(target_len: Optional[int], multiclass: bool):

@@ -75,16 +75,23 @@ class OneOf:
         # Draw by inverse-CDF on a cached cumulative: np.random.choice(p=…)
         # costs ~20 µs/call, which was ~2/3 of the host loader's whole
         # per-item time at the flagship shape.
-        self._cum = (np.cumsum(np.asarray(p, np.float64)).tolist()
-                     if p is not None else None)
+        if p is not None:
+            cum = np.cumsum(np.asarray(p, np.float64))
+            if abs(cum[-1] - 1.0) > 1e-6:
+                raise ValueError(f"OneOf probabilities sum to {cum[-1]}")
+            self._cum = cum.tolist()
+        else:
+            self._cum = None
 
     def __call__(self, x, trg=None):
         r = random.random()
         if self._cum is None:
-            idx = min(int(r * len(self.transforms)),
-                      len(self.transforms) - 1)
+            idx = int(r * len(self.transforms))
         else:
+            # clamp: float64 cumsum can land just below 1.0 and r can
+            # fall in the residual gap
             idx = bisect.bisect_left(self._cum, r)
+        idx = min(idx, len(self.transforms) - 1)
         transform = self.transforms[idx]
         if trg is None:
             return transform(x)

@@ -397,11 +397,15 @@ def _prep(x, pad):
 # offsets are (off + _WMARGIN)·P with off + _WMARGIN ≡ 0 (mod 16) always
 # (see _WMARGIN), so any P that is a multiple of 8 gives 16·P ≡ 0 (mod 128)
 # STATICALLY (Mosaic must prove alignment at compile time; P=20 fails).
-# The forward runs up to 24 pairs per kernel: VMEM is T_re/T_im (bf16,
-# 2×528·128·P) PLUS the kernel's live f32 (Bt, 128·P) intermediates
-# (out_re/out_im) — P=40 measures 16.96 MB against the 16 MB scoped limit
-# at Bt=128, P=24 ≈ 10.4 MB. LEAF's F=40 → groups [24, 16], zero padding
-# waste. The backward is capped at 8 by its f32 dT accumulators.
+# The forward runs up to 24 pairs per kernel: VMEM is T_re/T_im
+# (2×528·128·P at the compute dtype) PLUS the kernel's live f32
+# (Bt, 128·P) intermediates (out_re/out_im) — P=40 bf16 measures 16.96 MB
+# against the 16 MB scoped limit at Bt=128; P=24 fits for BOTH compute
+# dtypes (bf16 ≈ 10.4 MB; f32 T operands are pinned input blocks rather
+# than scoped stack, and f32 P=24 at Bt=128 is verified compiling and
+# running on the v5e — scripts/kernel_microbench.py op_*_f32). LEAF's
+# F=40 → groups [24, 16], zero padding waste. The backward is capped at 8
+# by its f32 dT accumulators.
 _FWD_MAX_PAIRS = 24
 
 

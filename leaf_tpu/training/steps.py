@@ -38,7 +38,8 @@ def waveform_from_wire(x: jnp.ndarray) -> jnp.ndarray:
     host→device traffic and host cache RAM than float32 — see
     RawWaveformDataset ``wire_dtype``); the scale 1/32768 is exactly what
     every decode backend applies for int16 sources, so the result is
-    bit-identical to the float32 wire path. Float inputs pass through.
+    bit-identical to the float32 wire path for mono 16-bit sources
+    (stereo down-mixes agree to 1 LSB). Float inputs pass through.
     """
     if x.dtype == jnp.int16:
         return x.astype(jnp.float32) * (1.0 / 32768.0)

@@ -564,3 +564,44 @@ class TestPrefetchToDevice:
         # consumed 1 + queue(2) + one blocked in q.put = at most 4-5
         assert ahead <= 5, ahead
         assert list(gen) == list(range(1, 100))
+
+
+class TestReviewFixes:
+    def test_oneof_weighted_never_overflows(self):
+        # float64 cumsum of thirds lands just below 1.0; draws in the
+        # residual gap must clamp, not IndexError
+        random.seed(0)
+        tf = T.OneOf([(lambda x: x + i) for i in range(3)],
+                     p=[1 / 3, 1 / 3, 1 / 3])
+        for _ in range(2000):
+            tf(0.0)
+
+    def test_oneof_bad_probabilities_raise(self):
+        with pytest.raises(ValueError, match="sum"):
+            T.OneOf([lambda x: x, lambda x: x], p=[0.5, 0.4])
+
+    def test_prefetch_abandoned_stops_feeder(self):
+        import time as _time
+        from leaf_tpu.data.loader import prefetch_to_device
+
+        placed = []
+
+        def place(x):
+            placed.append(x)
+            return x
+
+        gen = prefetch_to_device(iter(range(1000)), place, size=2)
+        next(gen)
+        gen.close()  # abandon early (GeneratorExit → stop + drain)
+        _time.sleep(0.5)
+        n = len(placed)
+        _time.sleep(0.3)
+        assert len(placed) == n  # feeder stopped placing
+
+    def test_stereo_int16_rounds_to_nearest(self, tmp_path):
+        from scipy.io import wavfile
+        stereo = np.array([[3, 4], [-3, -4], [100, 101]], np.int16)
+        p = str(tmp_path / "st.wav")
+        wavfile.write(p, SR, stereo)
+        x = load_audio(p, SR, min_duration=None, dtype="int16")
+        np.testing.assert_array_equal(x, [4, -4, 100])  # rint half-even

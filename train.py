@@ -177,15 +177,20 @@ def train(args):
         val_tfs = leaf_host_crop_transforms(False, val_clip)
     ds_cls = PackedDataset if args.use_packed_dataset else RawWaveformDataset
     wire = args.wire_dtype
+    # int16 wire needs every host-side op to be scale-equivariant: true
+    # for the default crop-only pipeline, not for host-side gain/noise/
+    # normalization (packed shards decode via the float byte-reader and
+    # keep float32).
+    int16_ok = (not args.use_packed_dataset and not args.host_aug
+                and not args.high_aug and not ac.get("normalize", False))
     if wire == "auto":
-        # int16 wire needs every host-side op to be scale-equivariant:
-        # true for the default crop-only pipeline, not for host-side
-        # gain/noise/normalization (packed shards decode via the float
-        # byte-reader and keep float32).
-        wire = ("int16" if (not args.use_packed_dataset and not args.host_aug
-                            and not args.high_aug
-                            and not ac.get("normalize", False))
-                else "float32")
+        wire = "int16" if int16_ok else "float32"
+    elif wire == "int16" and not int16_ok:
+        raise SystemExit(
+            "--wire_dtype int16 is incompatible with --host_aug/"
+            "--high_aug/--use_packed_dataset/audio_config.normalize: "
+            "those host pipelines are not scale-equivariant (int16 would "
+            "silently quantize augmented waveforms to {-1,0,1})")
     if args.use_packed_dataset:
         extra = {"gcs_bucket_path": args.gcs_bucket_name}
     else:
