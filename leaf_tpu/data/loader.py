@@ -266,7 +266,8 @@ def prefetch_to_device(iterator, place_fn: Callable, size: int = 2):
             # consumer's q.get() at end of epoch.
             put_until_stop(sentinel)
 
-    threading.Thread(target=feeder, daemon=True).start()
+    feeder_thread = threading.Thread(target=feeder, daemon=True)
+    feeder_thread.start()
     try:
         while True:
             item = q.get()
@@ -277,11 +278,21 @@ def prefetch_to_device(iterator, place_fn: Callable, size: int = 2):
             yield item
     finally:
         stop.set()
-        while True:  # drop queued batches so their buffers free
-            try:
-                q.get_nowait()
-            except queue.Empty:
-                break
+
+        def drain():
+            while True:  # drop queued batches so their buffers free
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+
+        drain()
+        # A feeder blocked inside q.put(timeout=0.2) can complete its put
+        # AFTER the drain above — join (bounded by the put timeout) and
+        # drain once more so the release of queued device buffers is
+        # deterministic, not GC-dependent.
+        feeder_thread.join(timeout=1.0)
+        drain()
 
 
 def make_packed_collate(target_len: Optional[int], multiclass: bool):

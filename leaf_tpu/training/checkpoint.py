@@ -124,13 +124,18 @@ def latest_checkpoint(exp_dir: str) -> Optional[str]:
 
 def best_checkpoint(exp_dir: str, key: str = "val_acc") -> Optional[str]:
     """Pick the checkpoint with the best metric — the reference parses
-    val_acc out of filenames (test.py:41-45); here it's read from meta.json."""
+    val_acc out of filenames (test.py:41-45); here it's read from meta.json.
+
+    ``epoch_N_preempt`` snapshots are mid-epoch saves with no validation
+    metric (val_acc=-1) and are never eligible: without this filter a run
+    preempted before its first completed epoch would silently serve a
+    mid-epoch model from evaluate.py / export_serving.py."""
     best_path, best_val = None, float("-inf")
     if not os.path.isdir(exp_dir):
         return None
     for name in sorted(os.listdir(exp_dir)):
-        if not _CKPT_RE.match(name.replace("epoch_", "epoch_")) and \
-           not name.startswith("epoch_"):
+        m = _CKPT_RE.match(name)
+        if not m or m.group(2):  # not a checkpoint dir, or a _preempt save
             continue
         meta_path = os.path.join(exp_dir, name, "meta.json")
         if not os.path.exists(meta_path):

@@ -14,7 +14,32 @@ import jax
 import optax
 from flax import core, struct
 
-__all__ = ["TrainState"]
+__all__ = ["TrainState", "rewind_steps"]
+
+
+def rewind_steps(state: "TrainState", n: int) -> "TrainState":
+    """Rewind the schedule clock by ``n`` steps: ``state.step`` plus every
+    ``count`` field inside the optax state (scale_by_schedule,
+    scale_by_adam, inject_hyperparams all keep one).
+
+    Used by the preemption save: resume redoes the interrupted epoch from
+    its start, so without the rewind a step-indexed schedule (warmupcosine)
+    would run ahead by the already-consumed mid-epoch steps on every
+    preemption, reaching the cosine tail early. Rewinding Adam's count
+    replays its bias correction for the redone steps, which is exactly the
+    do-over semantics resume implements."""
+    import jax.numpy as jnp
+    from jax import tree_util
+
+    def fix(path, leaf):
+        if path and isinstance(path[-1], tree_util.GetAttrKey) \
+                and path[-1].name == "count":
+            return jnp.maximum(leaf - n, 0).astype(leaf.dtype)
+        return leaf
+
+    new_opt = tree_util.tree_map_with_path(fix, state.opt_state)
+    return state.replace(step=jnp.maximum(state.step - n, 0),
+                         opt_state=new_opt)
 
 
 class TrainState(struct.PyTreeNode):

@@ -138,6 +138,55 @@ def test_sigterm_checkpoints_and_resumes(tiny_exp, tmp_path):
     assert "done." in res.stdout
 
 
+def test_best_checkpoint_never_returns_preempt_save(tmp_path):
+    """A preempt snapshot (val_acc=-1) must not win best_checkpoint even
+    when it is the ONLY checkpoint — evaluate.py/export_serving.py would
+    otherwise silently serve a mid-epoch model (advisor r2 finding)."""
+    from leaf_tpu.training.checkpoint import best_checkpoint
+    d = tmp_path / "epoch_000_preempt"
+    d.mkdir()
+    (d / "meta.json").write_text(json.dumps({"epoch": -1, "val_acc": -1.0}))
+    assert best_checkpoint(str(tmp_path)) is None
+    # once a completed epoch exists, it wins
+    d2 = tmp_path / "epoch_000"
+    d2.mkdir()
+    (d2 / "meta.json").write_text(json.dumps({"epoch": 0, "val_acc": 0.3}))
+    assert best_checkpoint(str(tmp_path)).endswith("epoch_000")
+
+
+def test_rewind_steps_resets_schedule_clock():
+    """rewind_steps must rewind state.step AND every optax count so a
+    preempt-resume that redoes the epoch does not run warmupcosine ahead."""
+    import jax
+    import jax.numpy as jnp
+    import optax
+    from jax import tree_util
+    from leaf_tpu.training.state import TrainState, rewind_steps
+
+    params = {"w": jnp.ones((3,))}
+    tx = optax.chain(optax.add_decayed_weights(1e-4),
+                     optax.scale_by_adam(),
+                     optax.scale_by_schedule(lambda s: -1e-3))
+    state = TrainState.create(apply_fn=lambda *a: None, params=params,
+                              batch_stats={}, tx=tx)
+    for _ in range(7):
+        state = state.apply_gradients(grads={"w": jnp.ones((3,))})
+    state = rewind_steps(state, 5)
+    assert int(state.step) == 2
+
+    counts = [leaf for path, leaf in
+              tree_util.tree_flatten_with_path(state.opt_state)[0]
+              if path and isinstance(path[-1], tree_util.GetAttrKey)
+              and path[-1].name == "count"]
+    assert counts and all(int(c) == 2 for c in counts)
+    # moments untouched
+    mu = state.opt_state[1].mu["w"]
+    assert float(jnp.abs(mu).sum()) > 0
+    # never below zero
+    state = rewind_steps(state, 100)
+    assert int(state.step) == 0
+
+
 def test_latest_prefers_completed_epoch_over_preempt(tmp_path):
     from leaf_tpu.training.checkpoint import latest_checkpoint
     for name, epoch in (("epoch_005", 5), ("epoch_006_preempt", 5),

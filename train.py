@@ -317,6 +317,7 @@ def train(args):
             tracker = RateTracker()
             ep_loss = ep_correct = ep_count = None
             t0 = time.time()
+            bi = -1
             for bi, (xb, yb) in enumerate(
                     prefetch_to_device(iter(train_loader), place)):
                 state, metrics = train_step(state, xb, yb, step_rng)
@@ -343,8 +344,13 @@ def train(args):
                 if preempted:
                     sched_state = (plateau.state_dict()
                                    if plateau is not None else None)
+                    # Rewind the schedule clock to the epoch boundary: the
+                    # resumed run redoes this epoch from its start, so the
+                    # mid-epoch steps must not advance warmupcosine/StepLR.
+                    from leaf_tpu.training.state import rewind_steps
                     path = save_checkpoint(
-                        args.expdir, state, epoch, float(metrics["loss"]),
+                        args.expdir, rewind_steps(state, bi + 1), epoch,
+                        float(metrics["loss"]),
                         -1.0, -1.0, scheduler_state=sched_state,
                         dir_suffix="_preempt", meta_epoch=epoch - 1)
                     logger.print(
@@ -353,6 +359,12 @@ def train(args):
                     logger.close()
                     return best_val
             n_steps = bi + 1
+            if n_steps == 0:
+                raise RuntimeError(
+                    "train loader produced zero batches — the training "
+                    "manifest has fewer items than one (per-host) batch "
+                    f"with drop_last; reduce opt.batch_size or add data "
+                    f"(epoch {epoch}).")
             tr_loss = float(ep_loss) / n_steps
             tr_acc = (float(ep_correct) / max(1, int(ep_count))
                       if multiclass else 0.0)
