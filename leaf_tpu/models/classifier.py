@@ -73,6 +73,11 @@ def get_classifier(opt: dict) -> nn.Module:
         return factories[depth](num_classes=num_classes, **kw)
     if arch == "efficientnet":
         variant = opt["model_depth"]  # e.g. 'b0'
+        # optional rate overrides, mirroring the reference's from_name
+        # override_params (model.py:324-334)
+        for k in ("dropout_rate", "drop_connect_rate"):
+            if k in opt:
+                kw[k] = float(opt[k])
         return EfficientNet(model_name=f"efficientnet-{variant}",
                             num_classes=num_classes, **kw)
     raise ValueError(f"Unsupported value {arch} for opt['arch']")

@@ -243,12 +243,22 @@ class EfficientNet(nn.Module):
     num_classes: int = 1000
     include_top: bool = True
     dtype: Any = jnp.float32
+    # Override the variant's default rates (the reference's
+    # ``from_name(..., **override_params)``, model.py:324-334); None keeps
+    # the scaling-table default. dropout_rate/drop_connect_rate=0.0 makes
+    # training deterministic (used by the torch trajectory-parity tests).
+    dropout_rate: Optional[float] = None
+    drop_connect_rate: Optional[float] = None
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
+        overrides = {"include_top": self.include_top}
+        if self.dropout_rate is not None:
+            overrides["dropout_rate"] = self.dropout_rate
+        if self.drop_connect_rate is not None:
+            overrides["drop_connect_rate"] = self.drop_connect_rate
         blocks_args, gp = get_model_params(
-            self.model_name, num_classes=self.num_classes,
-            include_top=self.include_top,
+            self.model_name, num_classes=self.num_classes, **overrides,
         )
         bn = lambda name: nn.BatchNorm(
             use_running_average=not train,

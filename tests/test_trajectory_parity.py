@@ -48,17 +48,16 @@ def _load_reference_cifar_resnet():
     return mod
 
 
-def _inject_params_into_torch(variables, ref_model):
-    """Copy our initialized Flax params into the torch reference model
-    (frontend tensors + every conv/bn/linear of the resnet20 backbone)."""
-    p = variables["params"]
+def _t(a):
+    return torch.from_numpy(np.array(a, dtype=np.float32))
 
-    def t(a):
-        return torch.from_numpy(np.array(a, dtype=np.float32))
 
-    fe = p["features"]
+def inject_frontend_params(fe, ref_features):
+    """Copy our initialized Flax LEAF params into the torch reference Leaf
+    (shared by the cifar_resnet and efficientnet parity tests)."""
+    t = _t
     with torch.no_grad():
-        f = ref_model.features
+        f = ref_features
         f._complex_conv._kernel.copy_(t(fe["complex_conv"]["kernel"]))
         f._pooling.weights.copy_(
             t(np.asarray(fe["pooling"]["weights"]).reshape(1, 1, -1, 1)))
@@ -69,6 +68,15 @@ def _inject_params_into_torch(variables, ref_model):
         f._compression.ema._weights.copy_(
             t(fe["compression"]["ema"]["weights"]))
 
+
+def _inject_params_into_torch(variables, ref_model):
+    """Copy our initialized Flax params into the torch reference model
+    (frontend tensors + every conv/bn/linear of the resnet20 backbone)."""
+    p = variables["params"]
+    t = _t
+
+    inject_frontend_params(p["features"], ref_model.features)
+    with torch.no_grad():
         m = p["model"]
         bb = ref_model.model
         # HWIO -> OIHW
