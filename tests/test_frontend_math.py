@@ -79,6 +79,105 @@ class TestGoldenMelInit:
         np.testing.assert_array_equal(k, DEFAULT_40)
 
 
+def _derive_gabor_params_scalar(i: int, n_mels: int, f_min: float,
+                                f_max: float, sr: int = 16000,
+                                n_fft: int = 512):
+    """Independent (mu, sigma) derivation for mel filter ``i`` straight from
+    the HTK mel-point triangle geometry — NEVER calls melscale_fbanks or
+    builds the fbank matrix (VERDICT r2 item 5: non-circular provenance).
+
+    Spec being re-derived (reference leaf_pytorch/filters.py:28-58 +
+    torchaudio melscale_fbanks, norm=None, htk):
+    - mel knots: n_mels+2 points uniform in HTK mel between f_min and f_max;
+      filter i is the triangle (left, apex, right) = knots (i, i+1, i+2),
+      peak value 1.0 at the apex, evaluated at FFT-bin centres
+      k * (sr//2) / (n_fft//2), cast to float32 (torchaudio returns f32)
+    - mu = argmax-bin * 2*pi/n_fft (first bin on ties, like torch.argmax)
+    - FWHM = #bins with sqrt(f32 value) >= sqrt(f32 peak-bin value)/2,
+      counted in float32; sigma = sqrt(2 ln2) * n_fft / (pi * FWHM)
+    """
+    hz2mel = lambda f: 2595.0 * np.log10(1.0 + f / 700.0)   # noqa: E731
+    mel2hz = lambda m: 700.0 * (10.0 ** (m / 2595.0) - 1.0)  # noqa: E731
+    mpts = np.linspace(hz2mel(f_min), hz2mel(f_max), n_mels + 2)
+    left, apex, right = (mel2hz(mpts[i]), mel2hz(mpts[i + 1]),
+                         mel2hz(mpts[i + 2]))
+    n_freqs = n_fft // 2 + 1
+    df = (sr // 2) / (n_freqs - 1)
+
+    def tri(f):
+        return max(0.0, min((f - left) / (apex - left),
+                            (right - f) / (right - apex)))
+
+    ks = range(max(0, int(left // df)), min(n_freqs, int(right // df) + 2))
+    sq = {k: np.float32(np.sqrt(np.float32(tri(k * df)))) for k in ks}
+    peak_bin = min(sq, key=lambda k: (-sq[k], k))  # first bin on ties
+    half = sq[peak_bin] / np.float32(2.0)
+    fwhm = np.float32(sum(1 for v in sq.values() if v >= half))
+    coeff = np.float32(np.sqrt(np.float32(2.0) *
+                               np.log(np.float32(2.0)))) * n_fft
+    mu = np.float32(np.float32(peak_bin) * np.float32(2.0)
+                    * np.float32(np.pi) / n_fft)
+    sigma = np.float32(coeff / (np.pi * fwhm))
+    return mu, sigma, peak_bin, int(fwhm)
+
+
+class TestGoldenProvenance:
+    """The frozen golden tables re-derived filter-by-filter from scalar
+    HTK triangle geometry — if either the fbank construction or the
+    (argmax, FWHM) extraction drifts, these fail with non-circular evidence
+    (the derivation path shares no code with melbanks.py/filters.py)."""
+
+    def test_default_40_every_filter(self):
+        from tests.golden_mel_init import DEFAULT_40
+        for i in range(40):
+            mu, sigma, _, _ = _derive_gabor_params_scalar(i, 40, 60.0, 7800.0)
+            np.testing.assert_allclose(
+                [mu, sigma], DEFAULT_40[i], rtol=1e-6,
+                err_msg=f"filter {i}")
+
+    def test_audioset_64_every_filter(self):
+        from tests.golden_mel_init import AUDIOSET_64
+        for i in range(64):
+            mu, sigma, _, _ = _derive_gabor_params_scalar(i, 64, 60.0, 7800.0)
+            np.testing.assert_allclose(
+                [mu, sigma], AUDIOSET_64[i], rtol=1e-6,
+                err_msg=f"filter {i}")
+
+    def test_strategic_boundary_filters_hand_values(self):
+        """The filters where an off-by-one would live, pinned to explicit
+        hand-computed bin arithmetic (bin width 8000/256 = 31.25 Hz):
+
+        - 40/0:  knots 60.0/106.1/155.0 Hz; apex/31.25 = 3.395 -> peak bin 3;
+                 sqrt-half-max window holds 2 bins -> sigma = c/(pi*2)
+        - 40/39: knots 6855.6/7313.9/7800.0 (fmax edge); apex bin 234.04 ->
+                 peak 234; FWHM 22 bins
+        - 64/0:  knots 60.0/88.76/118.6; apex bin 2.84 -> peak bin 3
+                 (tri(3) = 0.833 > tri(2) = 0.113); FWHM = 1 bin (only the
+                 peak bin survives the sqrt-half threshold)
+        - 64/63: knots 7191.4/7490.0/7800.0; apex bin 239.68 -> peak bin 240
+                 (right of the floor bin); FWHM 15 bins
+        where c = sqrt(2 ln2) * 512.
+        """
+        from tests.golden_mel_init import AUDIOSET_64, DEFAULT_40
+        c = np.float32(np.sqrt(np.float32(2.0) * np.log(np.float32(2.0)))) * 512
+        cases = [
+            (DEFAULT_40, 0, 40, 3, 2),
+            (DEFAULT_40, 39, 40, 234, 22),
+            (AUDIOSET_64, 0, 64, 3, 1),
+            (AUDIOSET_64, 63, 64, 240, 15),
+        ]
+        for table, i, n_mels, want_bin, want_fwhm in cases:
+            mu, sigma, peak_bin, fwhm = _derive_gabor_params_scalar(
+                i, n_mels, 60.0, 7800.0)
+            assert peak_bin == want_bin, (i, n_mels, peak_bin)
+            assert fwhm == want_fwhm, (i, n_mels, fwhm)
+            np.testing.assert_allclose(
+                table[i],
+                [np.float32(want_bin * 2.0 * np.pi / 512),
+                 np.float32(c / (np.pi * np.float32(want_fwhm)))],
+                rtol=1e-6)
+
+
 class TestGaborImpulseResponse:
     def test_matches_oracle(self):
         params = oracle.gabor_params_from_mels().astype(np.float32)
