@@ -28,7 +28,8 @@ import optax
 from leaf_tpu.training.state import TrainState
 
 __all__ = ["cross_entropy_loss", "bce_logits_loss", "mixup",
-           "make_train_step", "make_eval_step", "waveform_from_wire"]
+           "make_train_step", "make_eval_step", "waveform_from_wire",
+           "pad_batch_to_multiple"]
 
 
 def waveform_from_wire(x: jnp.ndarray) -> jnp.ndarray:
@@ -168,31 +169,62 @@ def make_train_step(
 
 
 def make_eval_step(model_type: str = "multiclass") -> Callable:
-    """Jitted eval step: (state, x, y) → metrics + raw outputs.
+    """Jitted eval step: (state, x, y[, w]) → metrics + raw outputs.
 
     Multilabel returns sigmoid probabilities for host-side mAP/AUC
     (reference: test.py:145-155); multiclass returns logits.
+
+    ``w`` is an optional per-example {0,1} weight: validation batches must
+    be padded up to a multiple of the mesh size before sharding (a
+    drop_last=False remainder rarely divides the device count), and the
+    pad rows carry w=0 so they contribute to no metric. loss/correct/count
+    are then weighted sums (count = number of real rows); the host computes
+    the weighted-mean loss as sum(loss)/n_batches exactly as before because
+    w-aware loss is already normalized by sum(w).
     """
     multilabel = model_type == "multilabel"
-    loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
 
-    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray):
+    def step(state: TrainState, x: jnp.ndarray, y: jnp.ndarray,
+             w: Optional[jnp.ndarray] = None):
         x = waveform_from_wire(x)
         logits = state.apply_fn(
             {"params": state.params, "batch_stats": state.batch_stats},
             x, train=False)
-        loss = loss_fn_inner(logits, y)
         if multilabel:
+            per_example = optax.sigmoid_binary_cross_entropy(
+                logits, y).mean(axis=-1)
             outputs = jax.nn.sigmoid(logits)
-            correct = jnp.zeros((), jnp.int32)
+            hits = jnp.zeros((x.shape[0],), jnp.float32)
         else:
+            per_example = optax.softmax_cross_entropy_with_integer_labels(
+                logits, y)
             outputs = logits
-            correct = _topk_correct(logits, y).astype(jnp.int32)
+            hits = (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
+        if w is None:
+            w = jnp.ones((x.shape[0],), jnp.float32)
+        denom = jnp.maximum(w.sum(), 1.0)
         return {
-            "loss": loss,
-            "correct": correct,
-            "count": jnp.asarray(x.shape[0], jnp.int32),
+            "loss": (per_example * w).sum() / denom,
+            "correct": (hits * w).sum().astype(jnp.int32),
+            "count": w.sum().astype(jnp.int32),
             "outputs": outputs,
         }
 
     return jax.jit(step)
+
+
+def pad_batch_to_multiple(x, y, multiple: int):
+    """Pad (x, y) on the batch axis up to a multiple of ``multiple`` by
+    repeating row 0, returning (x, y, w) with w=0 on the pad rows — so a
+    drop_last=False validation remainder can shard over any mesh."""
+    import numpy as np
+    n = x.shape[0]
+    pad = (-n) % max(1, multiple)
+    w = np.ones((n + pad,), np.float32)
+    if pad:
+        w[n:] = 0.0
+        x = np.concatenate([np.asarray(x),
+                            np.repeat(np.asarray(x[:1]), pad, axis=0)])
+        y = np.concatenate([np.asarray(y),
+                            np.repeat(np.asarray(y[:1]), pad, axis=0)])
+    return x, y, w

@@ -1,0 +1,142 @@
+"""`train.py --multihost` end-to-end in a 2-process × 4-fake-device
+simulation (VERDICT r2 item 6).
+
+Drives the REAL driver — not just the mesh plumbing — through two localhost
+processes with gloo collectives: per-process loader sharding
+(ShardedSampler(rank)), global batch assembly, orbax multi-host checkpoint
+writes, `--continue_from_ckpt latest` resume, and cross-host agreement of
+the validation metric that feeds ReduceLROnPlateau (identical on every host
+by construction: metrics come out of the global SPMD step). The produced
+checkpoint must be loadable by evaluate.py.
+
+The reference's analogue is per-core xmp.spawn + DistributedSampler +
+master-only checkpointing (train_xla.py:369-375,176,36-52).
+"""
+
+import json
+import os
+import re
+import socket
+import subprocess
+import sys
+
+import pytest
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+sys.path.insert(0, os.path.dirname(__file__))
+from test_preemption import make_tiny_exp  # noqa: E402
+
+
+def _free_port() -> int:
+    with socket.socket() as s:
+        s.bind(("localhost", 0))
+        return s.getsockname()[1]
+
+
+def _launch(tiny_exp, expdir, port, pid, epochs, extra=()):
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env.update({
+        "XLA_FLAGS": "--xla_force_host_platform_device_count=4",
+        "PYTHONPATH": REPO,
+        "LEAF_COORDINATOR": f"localhost:{port}",
+        "LEAF_NUM_PROCESSES": "2",
+        "LEAF_PROCESS_ID": str(pid),
+    })
+    args = [sys.executable, "-u", os.path.join(REPO, "train.py"),
+            "--cfg_file", str(tiny_exp / "cfg.cfg"),
+            "--expdir", str(expdir), "--epochs", str(epochs),
+            "--num_workers", "1", "--log_steps", "1",
+            "--platform", "cpu", "--no_wandb", "--multihost",
+            "--batch_mode", "global", *extra]
+    return subprocess.Popen(args, stdout=subprocess.PIPE,
+                            stderr=subprocess.STDOUT, text=True, env=env,
+                            cwd=REPO)
+
+
+def _run_pair(tiny_exp, expdir, epochs, extra=()):
+    port = _free_port()
+    procs = [_launch(tiny_exp, expdir, port, i, epochs, extra)
+             for i in range(2)]
+    outs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=900)
+        outs.append(out)
+    for p, out in zip(procs, outs):
+        assert p.returncode == 0, out[-4000:]
+    return outs
+
+
+@pytest.fixture
+def tiny_exp(tmp_path):
+    exp = make_tiny_exp(tmp_path)
+    # plateau scheduler so cross-host LR agreement is actually exercised;
+    # batch 8 so the global batch divides the 8-device mesh
+    cfg = (exp / "cfg.cfg").read_text().replace(
+        "scheduler: warmupcosine", "scheduler: reduce").replace(
+        "batch_size: 4", "batch_size: 8")
+    (exp / "cfg.cfg").write_text(cfg)
+    return exp
+
+
+def test_multihost_train_end_to_end(tiny_exp, tmp_path):
+    expdir = tmp_path / "exp"
+    outs = _run_pair(tiny_exp, expdir, epochs=2)
+
+    # Master (process 0) logged the 2-process × 8-device world; both exited
+    # cleanly (non-master is TrainLogger-silent except its epoch lines)
+    assert "devices: 8 | processes: 2" in outs[0], outs[0][-3000:]
+    assert "done." in outs[0], outs[0][-3000:]
+
+    # Per-process loader sharding: 24 train items / 2 hosts = 12 per host,
+    # per-process loader batch = global 8 / 2 hosts = 4 → 3 batches/epoch
+    m = re.search(r"train batches/epoch: (\d+)", outs[0])
+    assert m and int(m.group(1)) == 3, outs[0][-2000:]
+
+    # Cross-host agreement of the epoch metrics that feed the plateau
+    # controller: the non-master host's per-host epoch lines must carry
+    # exactly the master's val_loss/val_acc values
+    def vals(out, pat):
+        return re.findall(pat, out)
+
+    master = vals(outs[0],
+                  r"epoch \d+: .*val_loss ([\d.]+) val_acc ([\d.]+)")
+    host1 = vals(outs[1],
+                 r"epoch \d+ \[host 1\]: val_loss ([\d.]+) val_acc ([\d.]+)")
+    assert len(master) == len(host1) == 2, (outs[0][-1500:], outs[1][-1500:])
+    assert master == host1, (master, host1)
+
+    # Orbax multi-host checkpoints exist, with meta from process 0 only
+    ckpts = sorted(d for d in os.listdir(expdir) if d.startswith("epoch_"))
+    assert ckpts == ["epoch_000", "epoch_001"], ckpts
+    meta = json.load(open(expdir / "epoch_001" / "meta.json"))
+    assert meta["epoch"] == 1 and meta["val_acc"] >= 0
+
+    # The checkpoint is loadable by the (single-process) evaluate.py
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    env["PYTHONPATH"] = REPO
+    if not (tiny_exp / "lbl_map.json").exists():
+        (tiny_exp / "lbl_map.json").write_text(
+            (tiny_exp / "lbl.json").read_text())
+    res = subprocess.run(
+        [sys.executable, "-u", os.path.join(REPO, "evaluate.py"),
+         "--exp_dir", str(expdir), "--meta_dir", str(tiny_exp),
+         "--test_csv_name", "val.csv", "--platform", "cpu"],
+        capture_output=True, text=True, timeout=600, env=env, cwd=REPO)
+    assert res.returncode == 0, res.stdout[-3000:] + res.stderr[-2000:]
+    assert "Accuracy:" in res.stdout, res.stdout[-2000:]
+
+
+def test_multihost_resume_from_latest(tiny_exp, tmp_path):
+    """Train 1 epoch in 2-process mode, then resume with
+    --continue_from_ckpt latest for a second epoch — the multi-host restore
+    path (orbax restore on both processes + replicated re-shard)."""
+    expdir = tmp_path / "exp"
+    _run_pair(tiny_exp, expdir, epochs=1)
+    outs = _run_pair(tiny_exp, expdir, epochs=2,
+                     extra=("--continue_from_ckpt", "latest"))
+    assert "resumed from" in outs[0] and "at epoch 1" in outs[0], \
+        outs[0][-3000:]
+    assert "done." in outs[0], outs[0][-3000:]
+    ckpts = sorted(d for d in os.listdir(expdir) if d.startswith("epoch_"))
+    assert ckpts == ["epoch_000", "epoch_001"], ckpts

@@ -102,7 +102,22 @@ def train(args):
                           args.compilation_cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
     if args.multihost:
-        jax.distributed.initialize()
+        # Real TPU pods: coordinator/process-count come from the TPU
+        # metadata (zero-arg initialize). The 2-process CPU simulation
+        # (tests/test_multihost_train.py) passes them explicitly via
+        # LEAF_COORDINATOR / LEAF_NUM_PROCESSES / LEAF_PROCESS_ID and uses
+        # gloo for cross-process CPU collectives.
+        coord = os.environ.get("LEAF_COORDINATOR")
+        if coord:
+            if args.platform == "cpu":
+                jax.config.update(
+                    "jax_cpu_collectives_implementation", "gloo")
+            jax.distributed.initialize(
+                coordinator_address=coord,
+                num_processes=int(os.environ["LEAF_NUM_PROCESSES"]),
+                process_id=int(os.environ["LEAF_PROCESS_ID"]))
+        else:
+            jax.distributed.initialize()
     import jax.numpy as jnp
 
     from leaf_tpu.data import (RawWaveformDataset, PackedDataset,
@@ -370,21 +385,40 @@ def train(args):
                       if multiclass else 0.0)
 
             # --------------------------------------------------- validation
+            # drop_last=False val remainders rarely divide the mesh: pad
+            # each local batch to the per-process device multiple with
+            # zero-weight rows (pad_batch_to_multiple) so they shard, and
+            # let the weighted eval_step keep them out of every metric.
+            from leaf_tpu.training.steps import pad_batch_to_multiple
+            pad_mult = max(1, n_dev // world)
+
+            def place_val(batch):
+                bx, by, w = pad_batch_to_multiple(
+                    np.asarray(batch[0]), np.asarray(batch[1]), pad_mult)
+                return (shard_batch(mesh, jnp.asarray(bx)),
+                        shard_batch(mesh, jnp.asarray(by)),
+                        shard_batch(mesh, jnp.asarray(w)))
+
             v_loss = v_correct = v_count = 0.0
             outputs, gts = [], []
-            for xb, yb in prefetch_to_device(iter(val_loader), place):
+            for xb, yb, wb in prefetch_to_device(iter(val_loader),
+                                                 place_val):
                 if val_needs_norm:
                     # the split pipeline's val PeakNormalization, on device
                     # (int16 wire batches decode to float first)
                     from leaf_tpu.training.steps import waveform_from_wire
                     xb = peak_normalize(waveform_from_wire(xb))
-                m = eval_step(state, xb, yb)
+                m = eval_step(state, xb, yb, wb)
                 v_loss += float(m["loss"])
                 v_correct += int(m["correct"])
                 v_count += int(m["count"])
                 if not multiclass:
-                    outputs.append(np.asarray(m["outputs"]))
-                    gts.append(np.asarray(yb))
+                    # mAP path gathers raw outputs on the host (reference
+                    # test.py:145-155 semantics; single-process, like the
+                    # reference's master-only validation)
+                    keep = np.asarray(wb) > 0
+                    outputs.append(np.asarray(m["outputs"])[keep])
+                    gts.append(np.asarray(yb)[keep])
             val_loss = v_loss / max(1, len(val_loader))
             if multiclass:
                 val_metric = v_correct / max(1, v_count)
@@ -399,6 +433,14 @@ def train(args):
                 f"epoch {epoch}: tr_loss {tr_loss:.4f} tr_acc {tr_acc:.4f} "
                 f"val_loss {val_loss:.4f} {metric_name} {val_metric:.4f} "
                 f"({dt:.1f}s, {tracker.global_rate():.1f} ex/s)")
+            if not is_master:
+                # per-host epoch line (master logs via TrainLogger): the
+                # metrics are global SPMD outputs, so every host MUST print
+                # the same values — divergence here means a plateau-LR or
+                # data-sharding bug across hosts
+                print(f"epoch {epoch} [host {rank}]: "
+                      f"val_loss {val_loss:.4f} {metric_name} "
+                      f"{val_metric:.4f}", flush=True)
             logger.log_scalars(
                 {"train/loss": tr_loss, "train/acc": tr_acc,
                  "val/loss": val_loss, f"val/{metric_name}": val_metric,
@@ -410,9 +452,15 @@ def train(args):
             save_checkpoint(args.expdir, state, epoch, tr_loss, tr_acc,
                             val_metric, scheduler_state=sched_state)
             if plateau is not None:
+                # place the new LR with the opt_state's replicated global
+                # sharding — a plain jnp scalar lives only on this
+                # process's device 0 and would demand an unsupported
+                # cross-host transfer at the next jitted step
+                from leaf_tpu.parallel.mesh import replicated_sharding
                 new_lr = plateau.step(val_metric)
                 state.opt_state.hyperparams["learning_rate"] = \
-                    jnp.asarray(new_lr, jnp.float32)
+                    jax.device_put(jnp.asarray(new_lr, jnp.float32),
+                                   replicated_sharding(mesh))
             best_val = max(best_val, val_metric)
         logger.print(f"done. best {metric_name}: {best_val:.4f}")
         logger.close()
