@@ -37,6 +37,11 @@ def parse_args():
     p.add_argument("--compilation_cache_dir", type=str,
                    default=os.path.expanduser("~/.cache/leaf_tpu_xla"),
                    help="persistent XLA compile cache; '' disables")
+    p.add_argument("--n_devices", type=int, default=None,
+                   help="shard window batches over the first N devices "
+                        "(default: all). An improvement over the reference's "
+                        "single-core batch_size=1 test.py — AudioSet-scale "
+                        "test sets keep the whole mesh busy.")
     return p.parse_args()
 
 
@@ -101,10 +106,35 @@ def main(args):
     state, meta = load_checkpoint(ckpt, state, with_opt=False)
     print(f"loaded {ckpt} (val metric {meta.get('val_acc', 'n/a')})")
 
+    # Mesh-parallel inference (↑ over the reference's batch_size=1 single
+    # core, test.py:110-128): params replicated, window batches sharded over
+    # the 'data' axis — identical logits, n_devices× the window throughput.
+    from leaf_tpu.parallel import make_mesh, shard_batch, shard_params
+    mesh = make_mesh(args.n_devices)
+    n_dev = mesh.devices.size
+    if n_dev > 1:
+        print(f"sharding inference over {n_dev} devices")
+        state = state.replace(
+            params=shard_params(mesh, state.params),
+            batch_stats=shard_params(mesh, state.batch_stats))
+
     @jax.jit
     def forward(params, batch_stats, x):
         return model.apply({"params": params, "batch_stats": batch_stats},
                            x, train=False)
+
+    def run_windows(flat: np.ndarray) -> np.ndarray:
+        """Forward (n, sr) windows, zero-padding n up to the mesh multiple
+        (pad rows' logits are dropped; BN uses running stats, so pad rows
+        cannot affect real ones)."""
+        n = flat.shape[0]
+        pad = (-n) % n_dev
+        if pad:
+            flat = np.concatenate(
+                [flat, np.zeros((pad,) + flat.shape[1:], flat.dtype)])
+        xb = (shard_batch(mesh, jnp.asarray(flat)) if n_dev > 1
+              else jnp.asarray(flat))
+        return np.asarray(forward(state.params, state.batch_stats, xb))[:n]
 
     # Bucket clips by window count so each unique shape compiles ONCE and
     # clips batch together — the reference evaluates clip-by-clip at
@@ -118,20 +148,20 @@ def main(args):
 
     n_done = 0
     results = [None] * len(test_set)
-    max_clips_per_batch = 64
-    for n_windows, items in sorted(buckets.items()):
-        for start in range(0, len(items), max_clips_per_batch):
-            chunk = items[start:start + max_clips_per_batch]
-            stacked = jnp.asarray(np.stack([w for w, _, _ in chunk]))
-            b, nw = stacked.shape[:2]
-            logits = forward(state.params, state.batch_stats,
-                             stacked.reshape(b * nw, sr))
-            mean_logits = logits.reshape(b, nw, -1).mean(axis=1)
-            for (win, y, idx), ml in zip(chunk, np.asarray(mean_logits)):
-                results[idx] = (ml, y)
-            n_done += len(chunk)
-            if n_done % 512 < max_clips_per_batch:
-                print(f"{n_done}/{len(test_set)}")
+    max_clips_per_batch = max(64, 8 * n_dev)
+    with mesh:
+        for n_windows, items in sorted(buckets.items()):
+            for start in range(0, len(items), max_clips_per_batch):
+                chunk = items[start:start + max_clips_per_batch]
+                stacked = np.stack([w for w, _, _ in chunk])
+                b, nw = stacked.shape[:2]
+                logits = run_windows(stacked.reshape(b * nw, sr))
+                mean_logits = logits.reshape(b, nw, -1).mean(axis=1)
+                for (win, y, idx), ml in zip(chunk, mean_logits):
+                    results[idx] = (ml, y)
+                n_done += len(chunk)
+                if n_done % 512 < max_clips_per_batch:
+                    print(f"{n_done}/{len(test_set)}")
 
     all_preds, all_gts = [], []
     for ml, y in results:

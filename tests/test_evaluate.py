@@ -62,3 +62,30 @@ def test_evaluate_writes_results_and_skips_if_present(trained_exp):
     assert res2.returncode == 0
     assert "skipping" in res2.stdout, res2.stdout[-2000:]
     assert open(res_path).read() == body  # unchanged
+
+
+def test_mesh_parallel_evaluate_matches_single_device(trained_exp):
+    """evaluate.py sharded over an 8-fake-device mesh must reproduce the
+    single-device results.txt exactly (an ↑ over the reference's
+    batch_size=1 test.py; window batches shard over 'data', pad rows
+    dropped)."""
+    root, expdir, env = trained_exp
+    base = [sys.executable, "-u", os.path.join(REPO, "evaluate.py"),
+            "--exp_dir", str(expdir), "--meta_dir", str(root),
+            "--test_csv_name", "test.csv", "--metrics", "multiclass",
+            "--platform", "cpu"]
+    res_path = os.path.join(expdir, "results.txt")
+
+    res1 = subprocess.run(base, capture_output=True, text=True, timeout=420,
+                          env=env, cwd=REPO)
+    assert res1.returncode == 0, res1.stdout[-3000:] + res1.stderr[-2000:]
+    single = open(res_path).read()
+    os.remove(res_path)
+
+    env8 = {**env, "XLA_FLAGS": "--xla_force_host_platform_device_count=8"}
+    res8 = subprocess.run(base, capture_output=True, text=True, timeout=420,
+                          env=env8, cwd=REPO)
+    assert res8.returncode == 0, res8.stdout[-3000:] + res8.stderr[-2000:]
+    assert "sharding inference over 8 devices" in res8.stdout, \
+        res8.stdout[-2000:]
+    assert open(res_path).read() == single
