@@ -92,6 +92,32 @@ class TrainLogger:
         if self.wandb is not None:
             self.wandb.log(scalars, step=step)
 
+    def log_histograms(self, hists: dict, step: int) -> None:
+        """Write per-tensor histograms (the ``wandb.watch(log="all")``
+        equivalent): ``hists`` maps tag → ``(counts, lo, hi, sum, sum_sq)``
+        as produced on device by ``leaf_tpu.training.histograms
+        .histogram_tree``; only the bucket counts cross to the host here.
+        """
+        if not self.is_master or (self.tb is None and self.wandb is None):
+            return
+        import numpy as np
+        for tag, (counts, lo, hi, s, ssq) in hists.items():
+            counts = np.asarray(counts)
+            lo = float(lo)
+            hi = float(hi)
+            edges = np.linspace(lo, hi if hi > lo else lo + 1e-12,
+                                counts.shape[0] + 1)
+            if self.tb is not None:
+                self.tb.add_histogram_raw(
+                    tag, min=lo, max=hi, num=int(counts.sum()),
+                    sum=float(s), sum_squares=float(ssq),
+                    bucket_limits=edges[1:].tolist(),
+                    bucket_counts=counts.tolist(), global_step=step)
+            if self.wandb is not None:
+                self.wandb.log(
+                    {tag: self.wandb.Histogram(
+                        np_histogram=(counts, edges))}, step=step)
+
     def close(self) -> None:
         if self.tb is not None:
             self.tb.close()

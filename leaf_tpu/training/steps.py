@@ -88,6 +88,7 @@ def make_train_step(
     donate: bool = True,
     augment_fn: Optional[Callable] = None,
     watch_norms: bool = False,
+    watch_histograms: bool = False,
 ) -> Callable:
     """Build the jitted train step: (state, x, y, rng) → (state, metrics).
 
@@ -105,6 +106,14 @@ def make_train_step(
     ``wandb.watch(model, log="all", log_freq=100)`` (reference:
     train_xla.py:243-244): scalars computed inside the fused step (a few
     reductions) instead of host-side histogram hooks.
+
+    ``watch_histograms=True`` additionally stashes the raw grad pytree in
+    ``metrics["_grads"]`` (zero extra device compute — the buffers exist
+    anyway). At log boundaries the driver feeds it with ``state.params``
+    to ``leaf_tpu.training.histograms.histogram_tree`` for on-device
+    per-tensor bucket counts — the full ``wandb.watch(log="all")``
+    histogram story (reference: train_xla.py:243-244) without shipping
+    whole tensors to host.
     """
     multilabel = model_type == "multilabel"
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
@@ -163,6 +172,8 @@ def make_train_step(
                 metrics[f"grad_norm/{key}"] = optax.global_norm(grads[key])
                 metrics[f"param_norm/{key}"] = optax.global_norm(
                     new_state.params[key])
+        if watch_histograms:
+            metrics["_grads"] = grads
         return new_state, metrics
 
     return jax.jit(step, donate_argnums=(0,) if donate else ())

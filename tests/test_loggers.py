@@ -29,6 +29,32 @@ class TestTrainLogger:
         assert "hello" in capsys.readouterr().out
         assert os.path.isdir(tmp_path / "tb")
 
+    def test_log_histograms_writes_events(self, tmp_path):
+        """wandb.watch(log='all') equivalent: histogram_tree output must
+        round-trip through add_histogram_raw into a tb event file."""
+        pytest.importorskip("tensorboardX")
+        import numpy as np
+        from leaf_tpu.training.histograms import histogram_tree
+        tree = {"dense": {"kernel": np.random.RandomState(0)
+                          .randn(8, 4).astype(np.float32)}}
+        hists = histogram_tree(tree, prefix="params/")
+        assert set(hists) == {"params/dense/kernel"}
+        lg = TrainLogger(str(tmp_path), is_master=True, use_tensorboard=True)
+        lg.log_histograms(hists, step=3)
+        lg.close()
+        events = [f for f in os.listdir(tmp_path / "tb")
+                  if "tfevents" in f]
+        assert events
+        size = sum(os.path.getsize(tmp_path / "tb" / f) for f in events)
+        assert size > 100  # the histo summary actually serialized
+
+    def test_log_histograms_non_master_noop(self, tmp_path):
+        import numpy as np
+        from leaf_tpu.training.histograms import histogram_tree
+        lg = TrainLogger(str(tmp_path / "x"), is_master=False)
+        lg.log_histograms(histogram_tree({"w": np.ones(3, np.float32)}), 0)
+        assert not os.path.exists(tmp_path / "x")
+
     def test_non_master_silent(self, tmp_path, capsys):
         lg = TrainLogger(str(tmp_path / "x"), is_master=False)
         lg.print("nope")

@@ -292,6 +292,54 @@ class TestSteps:
         _, m2 = plain(state, x, y, jax.random.PRNGKey(7))
         assert set(m2) == {"loss", "correct", "count"}
 
+    def test_train_step_watch_histograms(self):
+        """wandb.watch(log='all') equivalent: watch_histograms=True must
+        stash the grad pytree in metrics['_grads'] (same treedef as
+        params), and histogram_tree must produce np.histogram-agreeing
+        bucket counts for params and grads in one device program."""
+        from leaf_tpu.training.histograms import histogram_tree
+        state, _ = _tiny_classifier_state()
+        step = make_train_step("multiclass", donate=False,
+                               watch_histograms=True)
+        x = jax.random.normal(jax.random.PRNGKey(1), (4, 16000)) * 0.1
+        y = jnp.array([0, 1, 2, 3])
+        new_state, metrics = step(state, x, y, jax.random.PRNGKey(7))
+        grads = metrics["_grads"]
+        assert (jax.tree_util.tree_structure(grads)
+                == jax.tree_util.tree_structure(state.params))
+        hists = histogram_tree(new_state.params, prefix="params/")
+        hists.update(histogram_tree(grads, prefix="grads/"))
+        assert any(k.startswith("params/") for k in hists)
+        assert any(k.startswith("grads/") for k in hists)
+        n_leaves = len(jax.tree_util.tree_leaves(state.params))
+        assert len(hists) == 2 * n_leaves
+        for tag, (counts, lo, hi, s, ssq) in hists.items():
+            counts = np.asarray(counts)
+            leaf_n = counts.sum()
+            assert leaf_n > 0, tag
+            assert float(lo) <= float(hi), tag
+            assert np.isfinite([float(lo), float(hi), float(s),
+                                float(ssq)]).all(), tag
+        # cross-check one tensor against np.histogram on identical edges
+        leaf = np.asarray(
+            jax.tree_util.tree_leaves(new_state.params)[0], np.float32)
+        counts, lo, hi, s, ssq = next(
+            v for k, v in hists.items() if k.startswith("params/"))
+        np_counts, _ = np.histogram(
+            leaf.ravel(), bins=np.asarray(counts).shape[0],
+            range=(float(lo), float(hi)))
+        np.testing.assert_array_equal(np.asarray(counts), np_counts)
+        np.testing.assert_allclose(float(s), leaf.sum(), rtol=1e-4)
+
+    def test_histogram_constant_tensor(self):
+        """A constant tensor must not NaN: everything in bucket 0."""
+        from leaf_tpu.training.histograms import tensor_histogram
+        counts, lo, hi, s, ssq = tensor_histogram(jnp.full((37,), 2.5))
+        counts = np.asarray(counts)
+        assert counts[0] == 37 and counts[1:].sum() == 0
+        assert float(lo) == float(hi) == 2.5
+        assert np.isclose(float(s), 37 * 2.5)
+
     def test_train_step_multilabel_with_mixup(self):
         state, _ = _tiny_classifier_state("multilabel")
         step = make_train_step("multilabel", mixup_alpha=1.0)

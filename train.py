@@ -65,6 +65,12 @@ def parse_args():
                    help="log global + per-submodule param/grad L2 norms "
                         "every log_steps (the reference's "
                         "wandb.watch(model), train_xla.py:243-244)")
+    p.add_argument("--watch_histograms", action="store_true",
+                   help="also log per-tensor param/grad HISTOGRAMS every "
+                        "log_steps — the full wandb.watch(log='all') "
+                        "equivalent (train_xla.py:243-244); bucket counts "
+                        "are computed on device, only ~80 kB/snapshot "
+                        "crosses to host. Implies --wandb_watch_model.")
     p.add_argument("--wire_dtype", choices=("auto", "float32", "int16"),
                    default="auto",
                    help="host→device waveform format. 'int16' ships raw "
@@ -281,9 +287,12 @@ def train(args):
                                                       peak_normalize)
             tr_augment = leaf_device_augment
             val_needs_norm = True
+        if args.watch_histograms:
+            args.watch_model = True
         train_step = make_train_step(
             mode, mixup_alpha=1.0 if use_mixup else None,
-            augment_fn=tr_augment, watch_norms=args.watch_model)
+            augment_fn=tr_augment, watch_norms=args.watch_model,
+            watch_histograms=args.watch_histograms)
         eval_step = make_eval_step(mode)
         step_rng = jax.random.PRNGKey(args.random_seed + 1)
 
@@ -356,6 +365,15 @@ def train(args):
                             {f"watch/{k}": float(v)
                              for k, v in metrics.items() if "norm" in k},
                             step=epoch * steps_per_epoch + bi)
+                    if args.watch_histograms:
+                        from leaf_tpu.training.histograms import (
+                            histogram_tree)
+                        hists = histogram_tree(state.params,
+                                               prefix="params/")
+                        hists.update(histogram_tree(metrics["_grads"],
+                                                    prefix="grads/"))
+                        logger.log_histograms(
+                            hists, step=epoch * steps_per_epoch + bi)
                 if preempted:
                     sched_state = (plateau.state_dict()
                                    if plateau is not None else None)
