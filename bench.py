@@ -53,6 +53,57 @@ def _timed_loop(step_fn, inputs, steps: int, warmup: int):
     return dt
 
 
+_HEALTHY_TFLOPS = {
+    # sustained 4096³ bf16 matmul through the tunnel when healthy (measured)
+    "TPU v5 lite": 105.0,
+}
+
+
+def tunnel_health_probe(max_wait_s: float = 1500.0, min_frac: float = 0.3):
+    """Measure sustained bf16-matmul TFLOP/s and wait out tunnel slumps.
+
+    The tunneled chip periodically degrades ~20-30× for tens of minutes
+    (observed 2026-08-17: 4.5 TFLOP/s vs the healthy 105 for >1 h). A
+    benchmark recorded during such a slump is meaningless, so: probe a
+    4096³ matmul; while it runs below ``min_frac`` of the healthy rate for
+    this device kind, sleep and re-probe, up to ``max_wait_s``. Returns the
+    final TFLOP/s — callers record it next to their numbers so a reading
+    taken during an unrecovered slump is visibly flagged.
+    On real (untunneled) hosts the first probe passes and costs ~1 s.
+    """
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    kind = jax.devices()[0].device_kind
+    healthy = _HEALTHY_TFLOPS.get(kind)
+    f = jax.jit(lambda a: a @ a)
+    x = jnp.ones((4096, 4096), jnp.bfloat16)
+    float(f(x)[0, 0])  # compile + first-touch (slow during slumps)
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        best = 0.0
+        for i in range(3):
+            y = x * (attempt * 3 + i + 2)  # distinct buffers: no memoization
+            t0 = time.perf_counter()
+            float(f(y)[0, 0])
+            best = max(best, 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12)
+        attempt += 1
+        if healthy is None or best >= min_frac * healthy \
+                or time.time() > deadline:
+            if healthy is not None and best < min_frac * healthy:
+                print(f"WARNING: device still degraded after "
+                      f"{max_wait_s:.0f}s wait: {best:.1f} TFLOP/s vs "
+                      f"healthy {healthy:.0f} — numbers below are NOT "
+                      f"representative", file=sys.stderr)
+            return round(best, 1)
+        print(f"device degraded ({best:.1f} TFLOP/s vs healthy "
+              f"{healthy:.0f}); waiting for recovery...", file=sys.stderr)
+        time.sleep(60)
+
+
 def check_fused_parity(batch: int = 64):
     """Compiled (non-interpret) fused-kernel parity on the CURRENT device:
     fused vs XLA Leaf forward + parameter gradients at the LEAF shape, f32.
@@ -372,6 +423,13 @@ def main():
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--steps", type=int, default=STEPS)
+    p.add_argument("--health", action="store_true",
+                   help="only run the tunnel health probe and print it")
+    p.add_argument("--skip-health", action="store_true",
+                   help="skip the pre-headline device health gate")
+    p.add_argument("--health-wait", type=float, default=1500.0,
+                   help="max seconds to wait for a degraded device to "
+                        "recover before benchmarking anyway")
     args = p.parse_args()
 
     if args.measure_torch_baseline:
@@ -392,6 +450,20 @@ def main():
     import jax
     platform = jax.devices()[0].platform
     bf16 = not args.f32
+
+    if args.health:
+        tf = tunnel_health_probe(max_wait_s=0.0)
+        print(json.dumps({"metric": f"device_health_tflops_{platform}",
+                          "value": tf, "unit": "TFLOP/s",
+                          "vs_baseline": 0.0}))
+        return
+
+    # Gate every timed run on device health: the tunneled chip slumps
+    # ~20-30× for tens of minutes at a time, and a headline recorded then
+    # is garbage. Wait (bounded) for recovery; always record the probe.
+    probe_tflops = None
+    if platform == "tpu" and not args.skip_health:
+        probe_tflops = tunnel_health_probe(max_wait_s=args.health_wait)
 
     if args.parity:
         fwd_diff, grad_rel = check_fused_parity()
@@ -436,13 +508,16 @@ def main():
     metric = ("leaf_frontend_fwdbwd_clips_per_sec" if args.frontend_only
               else "inference_clips_per_sec" if args.inference
               else "train_step_clips_per_sec")
-    print(json.dumps({
+    line = {
         "metric": f"{metric}_{platform}_bs{args.batch}"
                   + ("_bf16" if bf16 else "_f32"),
         "value": round(rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(rate / baseline, 3) if baseline else 0.0,
-    }))
+    }
+    if probe_tflops is not None:
+        line["device_health_tflops"] = probe_tflops
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":
