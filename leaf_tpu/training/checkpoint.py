@@ -32,6 +32,17 @@ def _ckpt_dir(exp_dir: str, epoch: int, suffix: str = "") -> str:
                         f"epoch_{epoch:03d}{suffix}")
 
 
+def _to_host(tree):
+    """Gather a (replicated) pytree to host numpy. Checkpoints are saved
+    AND restored through this so they stay topology-independent: numpy
+    re-shards onto any mesh (2-host × 4-device training → single-device
+    evaluate.py), unlike jax.Arrays whose saved shardings pin the
+    original mesh."""
+    import numpy as np
+    return jax.tree_util.tree_map(
+        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, tree)
+
+
 def save_checkpoint(exp_dir: str, state, epoch: int,
                     tr_loss: float, tr_acc: float, val_acc: float,
                     scheduler_state: Optional[dict] = None,
@@ -47,19 +58,13 @@ def save_checkpoint(exp_dir: str, state, epoch: int,
     its val_acc of -1 keeps it out of ``best_checkpoint``."""
     path = _ckpt_dir(exp_dir, epoch, dir_suffix)
     ckptr = ocp.StandardCheckpointer()
-    # Gather to host numpy first: the train state is fully replicated
-    # (shard_params), so every process holds complete values, and a numpy
-    # checkpoint is topology-independent — restorable on any device count
-    # (e.g. 2-host × 4-device training → single-device evaluate.py), unlike
-    # jax.Arrays whose saved shardings pin the original mesh.
-    import numpy as np
-    to_host = lambda t: jax.tree_util.tree_map(  # noqa: E731
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, t)
+    # Gather to host numpy first (_to_host): the train state is fully
+    # replicated (shard_params), so every process holds complete values.
     target = {
-        "step": to_host(state.step),
-        "params": to_host(state.params),
-        "batch_stats": to_host(state.batch_stats),
-        "opt_state": to_host(state.opt_state),
+        "step": _to_host(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
     }
     ckptr.save(os.path.join(path, "state"), target, force=True)
     ckptr.wait_until_finished()
@@ -89,18 +94,15 @@ def load_checkpoint(path: str, state, with_opt: bool = True) -> Tuple[Any, Dict]
             batch_stats=restored_raw["batch_stats"],
         ), meta
     ckptr = ocp.StandardCheckpointer()
-    # Restore to HOST numpy (template leaves are numpy): a committed device
-    # array coming out of orbax cannot be re-placed onto a multi-host mesh
-    # (cross-host device_put), while numpy re-shards anywhere — the mirror
-    # of save_checkpoint's topology-independent host gather.
-    import numpy as np
-    to_host = lambda t: jax.tree_util.tree_map(  # noqa: E731
-        lambda x: np.asarray(x) if isinstance(x, jax.Array) else x, t)
+    # Restore to HOST numpy (template leaves are numpy, via _to_host): a
+    # committed device array coming out of orbax cannot be re-placed onto
+    # a multi-host mesh (cross-host device_put), while numpy re-shards
+    # anywhere — the mirror of save_checkpoint's host gather.
     template = {
-        "step": to_host(state.step),
-        "params": to_host(state.params),
-        "batch_stats": to_host(state.batch_stats),
-        "opt_state": to_host(state.opt_state),
+        "step": _to_host(state.step),
+        "params": _to_host(state.params),
+        "batch_stats": _to_host(state.batch_stats),
+        "opt_state": _to_host(state.opt_state),
     }
     restored = ckptr.restore(os.path.join(os.path.abspath(path), "state"),
                              template)

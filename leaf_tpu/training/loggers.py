@@ -105,8 +105,13 @@ class TrainLogger:
             counts = np.asarray(counts)
             lo = float(lo)
             hi = float(hi)
-            edges = np.linspace(lo, hi if hi > lo else lo + 1e-12,
-                                counts.shape[0] + 1)
+            if not hi > lo:
+                # constant tensor: widen by a RELATIVE epsilon — an
+                # absolute 1e-12 (or even one ulp) underflows against
+                # |lo| >~ 1e4 and linspace then emits identical edges,
+                # which tensorboard/wandb reject as malformed buckets
+                hi = lo + max(abs(lo), 1.0) * 1e-6
+            edges = np.linspace(lo, hi, counts.shape[0] + 1)
             if self.tb is not None:
                 self.tb.add_histogram_raw(
                     tag, min=lo, max=hi, num=int(counts.sum()),

@@ -91,9 +91,15 @@ def main():
     ap.add_argument("--arch", type=str, default="efficientnet:b0",
                     help="backbone 'arch:depth' — default the flagship; "
                          "use cifar_resnet:20 for fast CPU smoke runs")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu for smoke runs; "
+                         "env vars are too late — sitecustomize pre-"
+                         "imports jax with the tunneled TPU backend)")
     args = ap.parse_args()
 
     import jax
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
     import jax.numpy as jnp
     from bench import _flagship_cfg
     from leaf_tpu.models import Classifier

@@ -180,7 +180,13 @@ def main():
     ap.add_argument("--arch", type=str, default="efficientnet:b0",
                     help="backbone 'arch:depth'; cifar_resnet:20 for "
                          "fast CPU smoke runs")
+    ap.add_argument("--platform", type=str, default=None,
+                    help="force a jax platform (e.g. cpu for smoke runs; "
+                         "env vars are too late — sitecustomize pre-"
+                         "imports jax with the tunneled TPU backend)")
     args = ap.parse_args()
+    if args.platform:
+        jax.config.update("jax_platforms", args.platform)
 
     rng = np.random.RandomState(0)
     xs = [jnp.asarray(rng.randn(args.batch, SR).astype("float32") * 0.1)

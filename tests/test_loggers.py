@@ -48,6 +48,23 @@ class TestTrainLogger:
         size = sum(os.path.getsize(tmp_path / "tb" / f) for f in events)
         assert size > 100  # the histo summary actually serialized
 
+    def test_log_histograms_large_constant_tensor(self, tmp_path):
+        """Constant tensor with |value| >> 1: the bucket-edge epsilon must
+        be relative (np.nextafter), not absolute — lo + 1e-12 == lo at
+        1e5, which produced 65 identical bucket_limits."""
+        pytest.importorskip("tensorboardX")
+        import numpy as np
+        from leaf_tpu.training.histograms import histogram_tree
+        hists = histogram_tree({"w": np.full((7,), 1e5, np.float32)})
+        lg = TrainLogger(str(tmp_path), is_master=True, use_tensorboard=True)
+        lg.log_histograms(hists, step=0)  # raised/garbled before the fix
+        lg.close()
+        (counts, lo, hi, s, ssq) = hists["w"]
+        lo, hi = float(lo), float(hi)
+        edge_hi = hi if hi > lo else lo + max(abs(lo), 1.0) * 1e-6
+        edges = np.linspace(lo, edge_hi, np.asarray(counts).shape[0] + 1)
+        assert np.all(np.diff(edges) > 0)
+
     def test_log_histograms_non_master_noop(self, tmp_path):
         import numpy as np
         from leaf_tpu.training.histograms import histogram_tree

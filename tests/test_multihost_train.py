@@ -140,3 +140,59 @@ def test_multihost_resume_from_latest(tiny_exp, tmp_path):
     assert "done." in outs[0], outs[0][-3000:]
     ckpts = sorted(d for d in os.listdir(expdir) if d.startswith("epoch_"))
     assert ckpts == ["epoch_000", "epoch_001"], ckpts
+
+
+@pytest.fixture
+def tiny_exp_multilabel(tmp_path):
+    exp = make_tiny_exp(tmp_path)
+    cfg = (exp / "cfg.cfg").read_text().replace(
+        "type: multiclass", "type: multilabel").replace(
+        "batch_size: 4", "batch_size: 8")
+    (exp / "cfg.cfg").write_text(cfg)
+    return exp
+
+
+def test_multihost_multilabel_val_gather(tiny_exp_multilabel, tmp_path):
+    """Multi-host MULTILABEL validation: the mAP path must all-gather the
+    batch-sharded outputs/targets/weights to every host (np.asarray on an
+    array spanning non-addressable devices raises) and produce a
+    host-identical val_mAP."""
+    expdir = tmp_path / "exp"
+    outs = _run_pair(tiny_exp_multilabel, expdir, epochs=1)
+    m0 = re.findall(r"val_mAP ([\d.]+)", outs[0])
+    m1 = re.findall(r"val_mAP ([\d.]+)", outs[1])
+    assert m0, outs[0][-3000:]
+    assert m0 == m1, (m0, m1)
+
+
+def test_multihost_preempt_consensus(tiny_exp, tmp_path):
+    """SIGTERM delivered to ONE of two hosts: the consensus check must
+    make BOTH leave the SPMD loop at the same step, write one _preempt
+    checkpoint together, and exit 0 — instead of the un-signalled host
+    deadlocking in the next step's collectives."""
+    import signal
+    import time as _time
+    expdir = tmp_path / "exp"
+    port = _free_port()
+    procs = [_launch(tiny_exp, expdir, port, i, epochs=50)
+             for i in range(2)]
+    # wait until steps are flowing on the master, then SIGTERM it ONLY
+    stepped = 0
+    deadline = _time.time() + 600
+    lines0 = []
+    for line in procs[0].stdout:
+        lines0.append(line)
+        if " step " in line and "rate" in line:
+            stepped += 1
+        if stepped >= 2 or _time.time() > deadline:
+            break
+    assert stepped >= 2, "".join(lines0)[-3000:]
+    procs[0].send_signal(signal.SIGTERM)
+    out0_rest, _ = procs[0].communicate(timeout=600)
+    out1, _ = procs[1].communicate(timeout=600)
+    out0 = "".join(lines0) + out0_rest
+    assert procs[0].returncode == 0, out0[-4000:]
+    assert procs[1].returncode == 0, out1[-4000:]
+    assert "SIGTERM: checkpointed mid-epoch" in out0, out0[-3000:]
+    preempt = [d for d in os.listdir(expdir) if d.endswith("_preempt")]
+    assert preempt == ["epoch_000_preempt"], sorted(os.listdir(expdir))

@@ -374,7 +374,22 @@ def train(args):
                                                     prefix="grads/"))
                         logger.log_histograms(
                             hists, step=epoch * steps_per_epoch + bi)
-                if preempted:
+                stop_now = bool(preempted)
+                if world > 1:
+                    # SIGTERM lands on hosts at different times (or on a
+                    # subset): every host must leave the SPMD loop at the
+                    # SAME step or the rest deadlock in the next step's
+                    # collectives / orbax barriers. Reach consensus at log
+                    # boundaries — a scalar all-gather over DCN, bounded
+                    # skew of log_steps steps, same bi (so the same
+                    # rewind) on every host.
+                    if bi % args.log_steps == 0:
+                        from jax.experimental import multihost_utils
+                        stop_now = bool(multihost_utils.process_allgather(
+                            np.asarray([1 if preempted else 0])).any())
+                    else:
+                        stop_now = False
+                if stop_now:
                     sched_state = (plateau.state_dict()
                                    if plateau is not None else None)
                     # Rewind the schedule clock to the epoch boundary: the
@@ -432,11 +447,23 @@ def train(args):
                 v_count += int(m["count"])
                 if not multiclass:
                     # mAP path gathers raw outputs on the host (reference
-                    # test.py:145-155 semantics; single-process, like the
-                    # reference's master-only validation)
-                    keep = np.asarray(wb) > 0
-                    outputs.append(np.asarray(m["outputs"])[keep])
-                    gts.append(np.asarray(yb)[keep])
+                    # test.py:145-155 semantics). Multi-host: the batch is
+                    # sharded across processes, so np.asarray would raise
+                    # on non-addressable shards — all-gather to every host
+                    # first (val-only, a few MB per batch over DCN).
+                    if world > 1:
+                        from jax.experimental import multihost_utils
+                        out_np, yb_np, wb_np = (
+                            np.asarray(multihost_utils.process_allgather(
+                                a, tiled=True))
+                            for a in (m["outputs"], yb, wb))
+                    else:
+                        out_np, yb_np, wb_np = (np.asarray(m["outputs"]),
+                                                np.asarray(yb),
+                                                np.asarray(wb))
+                    keep = wb_np > 0
+                    outputs.append(out_np[keep])
+                    gts.append(yb_np[keep])
             val_loss = v_loss / max(1, len(val_loader))
             if multiclass:
                 val_metric = v_correct / max(1, v_count)
@@ -459,11 +486,16 @@ def train(args):
                 print(f"epoch {epoch} [host {rank}]: "
                       f"val_loss {val_loss:.4f} {metric_name} "
                       f"{val_metric:.4f}", flush=True)
+            # one monotone global-step axis for ALL scalars: wandb drops
+            # any log whose step is below its high-water mark, so epoch
+            # metrics must not restart at step=epoch once the per-step
+            # watch/* logs have pushed the mark to epoch*steps_per_epoch
             logger.log_scalars(
                 {"train/loss": tr_loss, "train/acc": tr_acc,
                  "val/loss": val_loss, f"val/{metric_name}": val_metric,
-                 "train/examples_per_sec": tracker.global_rate()},
-                step=epoch)
+                 "train/examples_per_sec": tracker.global_rate(),
+                 "epoch": epoch},
+                step=(epoch + 1) * steps_per_epoch)
 
             sched_state = (plateau.state_dict()
                            if plateau is not None else None)
