@@ -173,7 +173,7 @@ def main():
             len(host_batches) * args.batch / dt, 1)
 
         # -- pure device step rate on pre-staged unique device batches
-        if f"step_only_clips_per_sec" not in out:
+        if "step_only_clips_per_sec" not in out:
             dev_batches = [place(hb) for hb in host_batches[:8]]
             float(dev_batches[-1][0][0, 0])
             state = fresh_state()
