@@ -6,6 +6,7 @@ Capability parity with reference ``models/`` (~1,440 LoC torch)."""
 from leaf_tpu.models.classifier import Classifier, get_classifier
 from leaf_tpu.models.efficientnet import EfficientNet, efficientnet_params
 from leaf_tpu.models.netvlad import NetVLAD
+from leaf_tpu.models.torch_import import import_torch_classifier
 
 __all__ = [
     "Classifier",
@@ -13,4 +14,5 @@ __all__ = [
     "EfficientNet",
     "efficientnet_params",
     "NetVLAD",
+    "import_torch_classifier",
 ]

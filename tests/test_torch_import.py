@@ -1,0 +1,171 @@
+"""Full-checkpoint torch→Flax import (leaf_tpu.models.torch_import).
+
+The migration story the reference lacks: train in torch, continue here.
+Method per arch: initialize OUR stack, inject into the reference torch
+composition (the numerically-verified parity maps), run a few REAL torch
+train steps so parameters and BN running stats all drift from init, then
+import ``ref.state_dict()`` back and demand our eval forward matches the
+torch eval forward — proving parameters AND running statistics migrated.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+torch = pytest.importorskip("torch")
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(not os.path.isdir(REF),
+                                reason="reference repo not mounted")
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+from leaf_tpu.models.torch_import import import_torch_classifier  # noqa: E402
+
+BATCH = 4
+SR = 16000
+
+
+def _torch_train_steps(ref, n_classes, steps=3, lr=1e-3):
+    """A few real torch train steps: moves every param + BN stat."""
+    rng = np.random.RandomState(11)
+    ref.train()
+    opt = torch.optim.Adam(ref.parameters(), lr=lr)
+    lossf = torch.nn.CrossEntropyLoss()
+    for i in range(steps):
+        x = torch.from_numpy(
+            rng.randn(BATCH, SR).astype(np.float32) * 0.1).unsqueeze(1)
+        y = torch.from_numpy(rng.randint(0, n_classes, BATCH))
+        opt.zero_grad()
+        loss = lossf(ref(x), y)
+        loss.backward()
+        opt.step()
+    ref.eval()
+
+
+def _assert_forward_match(ours, variables2, ref, atol=5e-4):
+    rng = np.random.RandomState(21)
+    wav = rng.randn(BATCH, SR).astype(np.float32) * 0.1
+    with torch.no_grad():
+        ref_logits = ref(torch.from_numpy(wav).unsqueeze(1)).numpy()
+    our_logits = np.asarray(
+        ours.apply(variables2, jnp.asarray(wav), train=False))
+    np.testing.assert_allclose(our_logits, ref_logits,
+                               atol=atol, rtol=1e-3)
+
+
+class TestRoundtripImport:
+    def test_cifar_resnet20(self):
+        from test_trajectory_parity import (_RefClassifier,
+                                            _inject_params_into_torch,
+                                            _load_reference_cifar_resnet)
+        from test_trajectory_parity import N_CLASSES
+        from test_torch_cross_validation import _load_reference_leaf
+        from leaf_tpu.models import Classifier
+
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": N_CLASSES, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        ref = _RefClassifier(_load_reference_leaf(),
+                             _load_reference_cifar_resnet())
+        _inject_params_into_torch(variables, ref)
+        _torch_train_steps(ref, N_CLASSES)
+        v2 = import_torch_classifier(ref.state_dict(), variables,
+                                     "cifar_resnet")
+        # params actually changed from our init (the test is not vacuous)
+        a = np.asarray(variables["params"]["model"]["conv1"]["kernel"])
+        b = np.asarray(v2["params"]["model"]["conv1"]["kernel"])
+        assert np.abs(a - b).max() > 1e-5
+        _assert_forward_match(ours, v2, ref)
+
+    def test_resnet18(self):
+        from test_resnet18_parity import (_RefClassifier, _inject_resnet18,
+                                          _load_reference_resnet, N_CLASSES)
+        from test_torch_cross_validation import _load_reference_leaf
+        from leaf_tpu.models import Classifier
+
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "resnet", "model_depth": 18,
+                      "num_classes": N_CLASSES, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        ref = _RefClassifier(_load_reference_leaf(),
+                             _load_reference_resnet())
+        _inject_resnet18(variables, ref)
+        _torch_train_steps(ref, N_CLASSES)
+        v2 = import_torch_classifier(ref.state_dict(), variables, "resnet")
+        # BN running stats migrated (not still at init mean=0/var=1)
+        bs = v2["batch_stats"]["model"]["bn1"]["BatchNorm_0"]
+        assert np.abs(np.asarray(bs["mean"])).max() > 1e-6
+        _assert_forward_match(ours, v2, ref)
+
+    def test_efficientnet_b0(self):
+        from test_efficientnet_parity import (_RefClassifier,
+                                              _inject_effnet_params,
+                                              _load_reference_efficientnet,
+                                              N_CLASSES)
+        from test_torch_cross_validation import _load_reference_leaf
+        from leaf_tpu.models import Classifier
+
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "efficientnet", "model_depth": "b0",
+                      "num_classes": N_CLASSES, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        ref = _RefClassifier(_load_reference_leaf(),
+                             _load_reference_efficientnet())
+        _inject_effnet_params(variables["params"]["model"], ref.model)
+        from test_trajectory_parity import inject_frontend_params
+        inject_frontend_params(variables["params"]["features"],
+                               ref.features)
+        # eval-mode forward only (train steps would engage drop-connect;
+        # BN stats move is already covered by the resnet tests)
+        ref.eval()
+        v2 = import_torch_classifier(ref.state_dict(), variables,
+                                     "efficientnet")
+        _assert_forward_match(ours, v2, ref)
+
+
+class TestImportErrors:
+    def test_unknown_key_raises(self):
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 3, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        with pytest.raises(KeyError, match="unrecognized"):
+            import_torch_classifier(
+                {"model.made_up.weight": np.zeros((1,), np.float32)},
+                variables, "cifar_resnet")
+
+    def test_densenet_refused(self):
+        with pytest.raises(NotImplementedError, match="densenet"):
+            import_torch_classifier({}, {"params": {}}, "densenet")
