@@ -148,6 +148,74 @@ class TestRoundtripImport:
         _assert_forward_match(ours, v2, ref)
 
 
+class TestImportCLI:
+    def test_cli_writes_loadable_checkpoint(self, tmp_path):
+        """scripts/import_torch_classifier.py: torch .pth (train_xla.py
+        layout, weights under model_state_dict) → orbax epoch dir that
+        load_checkpoint restores to a forward-matching model."""
+        import subprocess
+        from test_preemption import make_tiny_exp
+        from test_trajectory_parity import (_RefClassifier,
+                                            _inject_params_into_torch,
+                                            _load_reference_cifar_resnet,
+                                            N_CLASSES)
+        from test_torch_cross_validation import _load_reference_leaf
+        from leaf_tpu.models import Classifier
+
+        exp = make_tiny_exp(tmp_path)
+        # the tiny cfg builds cifar_resnet20 with 3 classes; the parity
+        # helpers fix N_CLASSES — align the cfg to them
+        cfg_txt = (exp / "cfg.cfg").read_text().replace(
+            "num_classes: 3", f"num_classes: {N_CLASSES}")
+        (exp / "cfg.cfg").write_text(cfg_txt)
+
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": N_CLASSES, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        ref = _RefClassifier(_load_reference_leaf(),
+                             _load_reference_cifar_resnet())
+        _inject_params_into_torch(variables, ref)
+        _torch_train_steps(ref, N_CLASSES, steps=2)
+        pth = tmp_path / "ref.pth"
+        torch.save({"model_state_dict": ref.state_dict(), "epoch": 5,
+                    "val_acc": 0.91}, pth)
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        out = tmp_path / "imported_exp"
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = repo
+        res = subprocess.run(
+            [sys.executable, os.path.join(
+                repo, "scripts/import_torch_classifier.py"),
+             str(pth), str(exp / "cfg.cfg"), str(out), "--platform", "cpu"],
+            capture_output=True, text=True, timeout=500, env=env, cwd=repo)
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert (out / "epoch_005").is_dir(), os.listdir(out)
+
+        import json
+        meta = json.load(open(out / "epoch_005" / "meta.json"))
+        assert meta["epoch"] == 5 and abs(meta["val_acc"] - 0.91) < 1e-6
+
+        import optax
+        from leaf_tpu.training import TrainState
+        from leaf_tpu.training.checkpoint import load_checkpoint
+        template = TrainState.create(
+            apply_fn=ours.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"], tx=optax.identity())
+        restored, _ = load_checkpoint(str(out / "epoch_005"), template,
+                                      with_opt=False)
+        v2 = {"params": restored.params,
+              "batch_stats": restored.batch_stats}
+        _assert_forward_match(ours, v2, ref)
+
+
 class TestImportErrors:
     def test_unknown_key_raises(self):
         from leaf_tpu.models import Classifier
