@@ -605,3 +605,72 @@ class TestReviewFixes:
         wavfile.write(p, SR, stereo)
         x = load_audio(p, SR, min_duration=None, dtype="int16")
         np.testing.assert_array_equal(x, [4, -4, 100])  # rint half-even
+
+
+class TestPackDatasetCLI:
+    def test_pack_then_read_roundtrip(self, wav_dir, tmp_path):
+        """scripts/pack_dataset.py output must load through PackedDataset
+        with waveforms identical to direct manifest reads (the reference
+        ships only the READER, packed_dataset.py:37-176 — the packer is
+        an addition)."""
+        import subprocess
+        import sys as _sys
+        pytest.importorskip("msgpack")
+        root, manifest, lbl_map = wav_dir
+        out = tmp_path / "packed"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = repo
+        res = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts/pack_dataset.py"),
+             manifest, str(out), "--records-per-shard", "5",
+             "--prefix", "tr"],
+            capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+        assert res.returncode == 0, res.stdout + res.stderr
+        # 12 records / 5 per shard = 3 shards
+        shards = sorted(f for f in os.listdir(out) if f.endswith(".msgpack"))
+        assert len(shards) == 3, shards
+
+        from leaf_tpu.data import PackedDataset, deflate_packed_batch
+        ac = {"sample_rate": SR, "min_duration": 1}
+        ds = PackedDataset(str(out / "tr_packed.csv"), lbl_map, ac,
+                           mode="multiclass", is_val=True,
+                           transform=leaf_supervised_transforms(
+                               False, SR, SR))
+        flat_w, flat_l = deflate_packed_batch([ds[i] for i in range(3)])
+        assert len(flat_w) == 12
+
+        from leaf_tpu.data import RawWaveformDataset
+        raw = RawWaveformDataset(manifest, lbl_map, ac, mode="multiclass",
+                                 is_val=True,
+                                 transform=leaf_supervised_transforms(
+                                     False, SR, SR))
+        for i in range(12):
+            w_direct, l_direct = raw[i]
+            np.testing.assert_array_equal(np.asarray(flat_w[i]),
+                                          np.asarray(w_direct))
+            assert int(flat_l[i]) == int(l_direct)
+
+    def test_packer_skips_unreadable(self, wav_dir, tmp_path):
+        import subprocess
+        import sys as _sys
+        pytest.importorskip("msgpack")
+        import pandas as pd
+        root, manifest, lbl_map = wav_dir
+        df = pd.read_csv(manifest)
+        bad = tmp_path / "missing.wav"
+        df.loc[len(df)] = {"files": str(bad), "labels": "class0",
+                           "durations": 0}
+        m2 = tmp_path / "with_bad.csv"
+        df.to_csv(m2, index=False)
+        out = tmp_path / "packed2"
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+        env["PYTHONPATH"] = repo
+        res = subprocess.run(
+            [_sys.executable, os.path.join(repo, "scripts/pack_dataset.py"),
+             str(m2), str(out), "--records-per-shard", "100"],
+            capture_output=True, text=True, timeout=300, env=env, cwd=repo)
+        assert res.returncode == 0, res.stdout + res.stderr
+        assert "skipping" in res.stderr
+        assert "packed 12/13" in res.stdout
