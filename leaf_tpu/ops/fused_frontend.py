@@ -300,7 +300,7 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
         start = pl.multiple_of((off + _WMARGIN) * np_, 128)
         wf = wf_ref[:, pl.ds(start, _POS_BLOCK * np_)]  # (1, 128·P)
         valid = jnp.logical_and(fr >= 0, fr < n_frames)
-        dof = jnp.where(valid, dout_ref[:, 0, j, :], 0.0)  # (Bt, P)
+        dof = jnp.where(valid, dout_ref[0, :, 0, j, :], 0.0)  # (Bt, P)
         # broadcast frame cotangent to flat positions: dof_flat[b, r·P+p]
         dof_flat = jnp.dot(dof, onehot.T,
                            preferred_element_type=jnp.float32)
@@ -329,8 +329,14 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
-def _run_bwd_group(xs, t_re, t_im, windows_g, d_pad_g, k, t_len, stride,
+def _run_bwd_group(xs, t_re, t_im, windows_g, d_grp, gi, k, t_len, stride,
                    pad_l, n_frames, interpret):
+    """One backward pair-group. ``d_grp`` is the SHARED group-major
+    (G, B, M, 4, P) slot-expanded cotangent; ``gi`` picks this group's
+    leading-dim block via the index_map — per-group channel slices in XLA
+    (a 5-output split fusion) measured 0.53 ms/step at LEAF shape, while
+    leading-dim block indexing is free (the tail block dims (4, P) equal
+    the array dims, so Mosaic lowers it without relayout)."""
     m_blocks, b, _ = xs.shape
     n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
@@ -353,8 +359,8 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_pad_g, k, t_len, stride,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, _FRAMES_PER_BLOCK, n_pairs),
-                         lambda i, m: (i, m, 0, 0),
+            pl.BlockSpec((1, bt, 1, _FRAMES_PER_BLOCK, n_pairs),
+                         lambda i, m, gi=gi: (gi, i, m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -371,7 +377,7 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_pad_g, k, t_len, stride,
             jax.ShapeDtypeStruct((1, _WPAD * n_pairs), jnp.float32),
         ],
         interpret=interpret,
-    )(xs, t_re, t_im, wf, d_pad_g)
+    )(xs, t_re, t_im, wf, d_grp)
 
     # Toeplitz cotangents returned UNfolded (SLAB, 128, P) — the caller
     # concatenates all groups/banks and folds once.
@@ -493,23 +499,33 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
     fr_ids = (_frame_min_np(m_blocks, stride, pad[0])[:, None]
               + np.arange(_FRAMES_PER_BLOCK)[None, :])
     fr_safe = np.where(fr_ids < n_frames, fr_ids, 0)
-    mask = jnp.asarray((fr_ids < n_frames)[None, :, :, None])
-    # Slot-expand the output cotangent ONCE for all channels; groups slice.
-    d_all = d_out.astype(jnp.float32)[:, jnp.asarray(fr_safe.reshape(-1)), :]
-    d_all = jnp.where(
-        mask, d_all.reshape(d_out.shape[0], m_blocks, _FRAMES_PER_BLOCK, f),
-        0.0)
+    b = d_out.shape[0]
+    # Slot-expand the output cotangent ONCE for all channels, GROUP-MAJOR:
+    # (B, n_frames, F) → pad F up to G·P → (G, B, n_frames, P) → slot-gather
+    # → (G, B, M, 4, P). Every backward pallas_call then block-indexes its
+    # group along the leading dim (free) instead of XLA slicing per-group
+    # channel ranges out of a shared (B, M, 4, F) array — that split fusion
+    # alone was 0.53 ms/step at LEAF shape (bs 256, bf16, v5e).
+    p_grp = _BWD_PAIR_GROUP
+    groups = _pair_groups(f, p_grp)
+    f_pad = len(groups) * p_grp
+    d0 = d_out.astype(jnp.float32)
+    if f_pad > f:
+        d0 = jnp.pad(d0, ((0, 0), (0, 0), (0, f_pad - f)))
+    d0 = d0.reshape(b, n_frames, len(groups), p_grp).transpose(2, 0, 1, 3)
+    # No external out-of-range mask: invalid slots gather frame-0 data via
+    # fr_safe, and the kernel zeroes them itself (`valid` where at
+    # _bwd_kernel). An XLA-side where on this lane-hostile (…, P=8) layout
+    # measured 0.99 ms/step — pure waste.
+    d_grp = d0[:, :, jnp.asarray(fr_safe.reshape(-1)), :].reshape(
+        len(groups), b, m_blocks, _FRAMES_PER_BLOCK, p_grp)
 
     d_res, d_ims, d_wins = [], [], []
-    for g0, g1, p in _pair_groups(f, _BWD_PAIR_GROUP):
+    for gi, (g0, g1, p) in enumerate(groups):
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        d_pad = d_all[..., g0:g1]
-        if g1 - g0 < p:
-            d_pad = jnp.pad(
-                d_pad, ((0, 0), (0, 0), (0, 0), (0, p - (g1 - g0))))
-        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_pad, k, t,
+        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_grp, gi, k, t,
                                     stride, pad[0], n_frames, interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])

@@ -102,72 +102,99 @@ def trace_program(fn, xs, tdir: str):
 
 
 def parse_trace(tdir: str):
-    """name → [count, total_us] over device-side complete events.
+    """name → [count, total_us, tf_op] over device OP events only.
 
-    Device rows live under processes named like '/device:TPU:0' (or
-    'TPU:0 …'); if no such process exists in the trace (e.g. CPU-backend
-    smoke runs), fall back to ALL complete events with a warning — the
-    totals then include host threads and overcount.
+    TPU traces expose three device threads: 'Steps' (one span per
+    execution), 'XLA Modules' (one span per compiled program — it covers
+    every op INCLUDING inter-op gaps), and 'XLA Ops' (the real per-op
+    rows). Only 'XLA Ops' rows are device-busy time; summing the others
+    double-counts and, over the tunnel, absorbs dispatch gaps (measured:
+    a 45 ms/exec "total" against 14.2 ms of actual op time during a
+    link slump where every op row matched healthy-tunnel durations).
+    Falls back to all complete events (with a warning) when no device
+    op thread exists, e.g. CPU-backend smoke runs.
     """
     agg, agg_all = {}, {}
     for f in glob.glob(f"{tdir}/**/*.trace.json.gz", recursive=True):
         data = json.load(gzip.open(f))
+        evs = data.get("traceEvents", [])
         pid_names = {m.get("pid"): m.get("args", {}).get("name", "")
-                     for m in data.get("traceEvents", [])
+                     for m in evs
                      if m.get("ph") == "M" and m.get("name") == "process_name"}
-        for ev in data.get("traceEvents", []):
+        tid_names = {(m.get("pid"), m.get("tid")):
+                     m.get("args", {}).get("name", "")
+                     for m in evs
+                     if m.get("ph") == "M" and m.get("name") == "thread_name"}
+        for ev in evs:
             if ev.get("ph") == "X" and "dur" in ev:
                 name = ev.get("name", "?")
-                agg_all.setdefault(name, [0, 0.0])
+                tf_op = ev.get("args", {}).get("tf_op", "")
+                agg_all.setdefault(name, [0, 0.0, tf_op])
                 agg_all[name][0] += 1
                 agg_all[name][1] += ev["dur"]
                 proc = pid_names.get(ev.get("pid"), "")
-                if "TPU" in proc or "/device:" in proc:
-                    agg.setdefault(name, [0, 0.0])
+                thread = tid_names.get((ev.get("pid"), ev.get("tid")), "")
+                if (("TPU" in proc or "/device:" in proc)
+                        and thread == "XLA Ops"):
+                    agg.setdefault(name, [0, 0.0, tf_op])
                     agg[name][0] += 1
                     agg[name][1] += ev["dur"]
     if not agg:
-        print("WARNING: no device-process rows in trace; reporting ALL "
+        print("WARNING: no device 'XLA Ops' rows in trace; reporting ALL "
               "events (host threads included)", file=sys.stderr)
         return agg_all
     return agg
 
 
-_CATEGORIES = [
-    # (label, regex on op name) — first match wins
-    ("frontend pallas fwd", re.compile(r"jvp__|fused_gabor", re.I)),
-    ("frontend pallas bwd", re.compile(r"transpose_jvp|_bwd|vjp", re.I)),
-    ("convolution (backbone)", re.compile(r"convolution|conv_general", re.I)),
-    ("matmul/dot", re.compile(r"\bdot\b|dot_general|matmul", re.I)),
-    ("copy/transpose/reshape", re.compile(r"copy|transpose|reshape|bitcast")),
-    ("reduce", re.compile(r"reduce")),
-    ("fusion (elementwise glue)", re.compile(r"fusion")),
-    ("infeed/outfeed/transfer", re.compile(r"infeed|outfeed|transfer", re.I)),
-]
-
-
 def categorize(agg):
-    cats, other = {}, 0.0
-    for name, (n, dur) in agg.items():
-        for label, pat in _CATEGORIES:
-            if pat.search(name):
-                cats[label] = cats.get(label, 0.0) + dur
-                break
+    """Category rollup, keyed primarily on each op's jaxpr path (tf_op):
+    '/features/' is the frontend (Pallas custom-calls are the >0.2 ms
+    rows; everything else on that path is XLA glue — Toeplitz slices,
+    the slot-expand/split chain, segment sums), '/model/' is the
+    backbone (+ the optimizer update fusions, which inherit /model/
+    paths from the parameters they touch)."""
+    cats = {}
+
+    def add(label, dur):
+        cats[label] = cats.get(label, 0.0) + dur
+
+    for name, (n, dur, tf_op) in agg.items():
+        per = dur / max(n, 1)
+        if "/features/" in tf_op:
+            if name.startswith(("features", "jvp", "transpose_jvp")) \
+                    and per > 200:
+                add("frontend pallas kernels", dur)
+            else:
+                add("frontend XLA glue", dur)
+        elif "/model/" in tf_op:
+            if re.search(r"conv", tf_op):
+                add("backbone conv paths (+fused BN stats/opt)", dur)
+            elif re.search(r"bn|batch_norm|reduce", tf_op):
+                add("backbone BN/reduce paths", dur)
+            else:
+                add("backbone other (+optimizer fusions)", dur)
+        elif re.search(r"copy|slice", name):
+            add("async copies / state streaming", dur)
+        elif re.search(r"adam|scale_by|count", tf_op, re.I):
+            add("optimizer (tagged)", dur)
         else:
-            other += dur
-    cats["other"] = other
+            add("other", dur)
     return cats
 
 
 def report(title, agg, n_execs, top=40):
-    total = sum(d for _, d in agg.values())
-    print(f"\n=== {title}: total device {total/1e3:.3f} ms over {n_execs} "
-          f"execs = {total/1e3/n_execs:.3f} ms/exec ===")
+    total = sum(v[1] for v in agg.values())
+    n_ops = sum(v[0] for v in agg.values())
+    print(f"\n=== {title}: device-busy {total/1e3:.3f} ms over {n_execs} "
+          f"execs = {total/1e3/n_execs:.3f} ms/exec "
+          f"({n_ops/n_execs:.0f} ops/exec) ===")
     for label, dur in sorted(categorize(agg).items(), key=lambda kv: -kv[1]):
         print(f"  {dur/1e3/n_execs:8.3f} ms/exec  {label}")
     print(f"  top {top} ops:")
-    for name, (n, dur) in sorted(agg.items(), key=lambda kv: -kv[1][1])[:top]:
-        print(f"  {dur/1e3/n_execs:8.3f} ms/exec  x{n:4d}  {name[:100]}")
+    for name, (n, dur, tf_op) in sorted(
+            agg.items(), key=lambda kv: -kv[1][1])[:top]:
+        print(f"  {dur/1e3/n_execs:8.3f} ms/exec  x{n:4d}  {name[:44]:46s}"
+              f" {tf_op[:60]}")
     return total / 1e3 / n_execs
 
 
