@@ -33,7 +33,12 @@ import numpy as np
 
 __all__ = ["save_exported", "ServingModel", "DEFAULT_BATCH_SIZES"]
 
-DEFAULT_BATCH_SIZES = (1, 8, 64)
+# No b=1 bucket by default: measured on the v5e (scripts/serving_latency.py)
+# a single clip costs MORE device time than a padded batch of 8 (1.28 vs
+# 0.97 ms — the fused frontend's batch tile is sublane-padded at B=1), so
+# padding singles up to 8 strictly dominates. Pass batch_sizes=(1, ...)
+# explicitly to export a b=1 artifact anyway.
+DEFAULT_BATCH_SIZES = (8, 64)
 _MANIFEST = "serving.json"
 
 

@@ -8,7 +8,7 @@ weight-embedded AOT artifacts + manifest via leaf_tpu.serving
 
 Example:
   python scripts/export_serving.py --exp_dir ./exp_scv2_b0 \
-      --out_dir ./exp_scv2_b0/serving --batch_sizes 1,8,64
+      --out_dir ./exp_scv2_b0/serving --batch_sizes 8,64
 """
 
 import argparse
@@ -25,7 +25,8 @@ def main():
                    help="default: <exp_dir>/serving")
     p.add_argument("--ckpt", type=str, default=None,
                    help="explicit checkpoint dir (default: best by val_acc)")
-    p.add_argument("--batch_sizes", type=str, default="1,8,64")
+    p.add_argument("--batch_sizes", type=str, default="8,64",
+               help="buckets; no b=1 by default — a padded batch of 8 costs\n               less device time than a single clip (BASELINE.md serving table)")
     p.add_argument("--platforms", type=str, default=None,
                    help="comma list, e.g. 'cpu,tpu' for a portable artifact"
                         " (default: current backend)")
