@@ -271,8 +271,8 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 # --------------------------------------------------------------- backward
 
 def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
-                dtre_ref, dtim_ref, dwf_ref, *, n_pairs: int, t_len: int,
-                stride: int, pad_l: int, n_frames: int):
+                dtre_ref, dtim_ref, dwf_ref, *, n_pairs: int, ch0: int,
+                t_len: int, stride: int, pad_l: int, n_frames: int):
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -289,10 +289,21 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
     mask = _pos_mask_flat(m, t_len, n_pairs)
     s = s * mask
 
-    onehot = _pair_onehot(n_pairs)                # (128·P, P)
     fr_min = _frame_min(m, stride, pad_l)
     np_ = n_pairs
     bt = x.shape[0]
+    # This group's channel selection is folded into the slot-broadcast
+    # matrix: selhot[c, r·P + p] = δ_{c, ch0+p}, built by iota compare —
+    # the dout block keeps ALL channels (lane dim F, 128-friendly) and the
+    # group select costs zero extra MXU passes (K grows 8 → F within one
+    # 128-wide K tile). XLA-side per-group slicing of the slot-expanded
+    # cotangent is what this replaces: a 5-way split fusion measured
+    # 0.53 ms/step and a group-major transpose 0.52 ms/step — both on
+    # lane-hostile minor-dim-8 layouts.
+    n_chan = dout_ref.shape[-1]
+    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 1)
+    selhot = (crow == ch0 + pcol % np_).astype(jnp.float32)  # (F, 128·P)
     d_s = jnp.zeros((bt, _POS_BLOCK * np_), jnp.float32)
     for j in range(_FRAMES_PER_BLOCK):
         fr = fr_min + j
@@ -300,9 +311,9 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
         start = pl.multiple_of((off + _WMARGIN) * np_, 128)
         wf = wf_ref[:, pl.ds(start, _POS_BLOCK * np_)]  # (1, 128·P)
         valid = jnp.logical_and(fr >= 0, fr < n_frames)
-        dof = jnp.where(valid, dout_ref[0, :, 0, j, :], 0.0)  # (Bt, P)
+        dof = jnp.where(valid, dout_ref[:, 0, j, :], 0.0)  # (Bt, F)
         # broadcast frame cotangent to flat positions: dof_flat[b, r·P+p]
-        dof_flat = jnp.dot(dof, onehot.T,
+        dof_flat = jnp.dot(dof, selhot,
                            preferred_element_type=jnp.float32)
         d_s = d_s + dof_flat * wf
         # dW_flat[(off+128+r)·P + p] += Σ_b S·dof
@@ -329,22 +340,23 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
-def _run_bwd_group(xs, t_re, t_im, windows_g, d_grp, gi, k, t_len, stride,
+def _run_bwd_group(xs, t_re, t_im, windows_g, d_all, ch0, k, t_len, stride,
                    pad_l, n_frames, interpret):
-    """One backward pair-group. ``d_grp`` is the SHARED group-major
-    (G, B, M, 4, P) slot-expanded cotangent; ``gi`` picks this group's
-    leading-dim block via the index_map — per-group channel slices in XLA
-    (a 5-output split fusion) measured 0.53 ms/step at LEAF shape, while
-    leading-dim block indexing is free (the tail block dims (4, P) equal
-    the array dims, so Mosaic lowers it without relayout)."""
+    """One backward pair-group. ``d_all`` is the SHARED slot-expanded
+    cotangent (B, M, 4, F_pad) in its natural layout — lane dim F, one
+    gather to build, no per-group XLA work at all; every group's kernel
+    streams the full-channel block and selects its ``ch0``..``ch0+P``
+    channels in-kernel via the iota one-hot folded into the
+    slot-broadcast matmul (see ``_bwd_kernel``)."""
     m_blocks, b, _ = xs.shape
     n_pairs = windows_g.shape[0]
+    n_chan = d_all.shape[-1]
     bt = b if b <= 128 else 128
 
     wf = _flat_windows(windows_g)
 
     kern = functools.partial(
-        _bwd_kernel, n_pairs=n_pairs, t_len=t_len, stride=stride,
+        _bwd_kernel, n_pairs=n_pairs, ch0=ch0, t_len=t_len, stride=stride,
         pad_l=pad_l, n_frames=n_frames)
     big = (_SLAB, _POS_BLOCK * n_pairs)
     dtre, dtim, dwf = pl.pallas_call(
@@ -359,8 +371,8 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_grp, gi, k, t_len, stride,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, 1, _FRAMES_PER_BLOCK, n_pairs),
-                         lambda i, m, gi=gi: (gi, i, m, 0, 0),
+            pl.BlockSpec((bt, 1, _FRAMES_PER_BLOCK, n_chan),
+                         lambda i, m: (i, m, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -377,7 +389,7 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_grp, gi, k, t_len, stride,
             jax.ShapeDtypeStruct((1, _WPAD * n_pairs), jnp.float32),
         ],
         interpret=interpret,
-    )(xs, t_re, t_im, wf, d_grp)
+    )(xs, t_re, t_im, wf, d_all)
 
     # Toeplitz cotangents returned UNfolded (SLAB, 128, P) — the caller
     # concatenates all groups/banks and folds once.
@@ -499,33 +511,30 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
     fr_ids = (_frame_min_np(m_blocks, stride, pad[0])[:, None]
               + np.arange(_FRAMES_PER_BLOCK)[None, :])
     fr_safe = np.where(fr_ids < n_frames, fr_ids, 0)
-    b = d_out.shape[0]
-    # Slot-expand the output cotangent ONCE for all channels, GROUP-MAJOR:
-    # (B, n_frames, F) → pad F up to G·P → (G, B, n_frames, P) → slot-gather
-    # → (G, B, M, 4, P). Every backward pallas_call then block-indexes its
-    # group along the leading dim (free) instead of XLA slicing per-group
-    # channel ranges out of a shared (B, M, 4, F) array — that split fusion
-    # alone was 0.53 ms/step at LEAF shape (bs 256, bf16, v5e).
+    # Slot-expand the output cotangent ONCE for all channels, in its
+    # NATURAL layout: one 2-D-index gather (B, n_frames, F_pad) →
+    # (B, M, 4, F_pad), lane dim F. No per-group XLA work follows — each
+    # backward kernel streams the full-channel block and selects its
+    # channels in-kernel (see _bwd_kernel selhot). Alternatives measured
+    # at LEAF shape (bs 256, bf16, v5e): per-group 5-way split fusion
+    # 0.53 ms/step; group-major (G, B, M, 4, P) transpose 0.52 ms/step;
+    # an XLA-side out-of-range where on either 0.09-0.99 ms — all on
+    # lane-hostile minor-dim-8 layouts. Invalid slots gather frame-0 data
+    # via fr_safe; the kernel zeroes them (`valid` where).
     p_grp = _BWD_PAIR_GROUP
     groups = _pair_groups(f, p_grp)
     f_pad = len(groups) * p_grp
     d0 = d_out.astype(jnp.float32)
     if f_pad > f:
         d0 = jnp.pad(d0, ((0, 0), (0, 0), (0, f_pad - f)))
-    d0 = d0.reshape(b, n_frames, len(groups), p_grp).transpose(2, 0, 1, 3)
-    # No external out-of-range mask: invalid slots gather frame-0 data via
-    # fr_safe, and the kernel zeroes them itself (`valid` where at
-    # _bwd_kernel). An XLA-side where on this lane-hostile (…, P=8) layout
-    # measured 0.99 ms/step — pure waste.
-    d_grp = d0[:, :, jnp.asarray(fr_safe.reshape(-1)), :].reshape(
-        len(groups), b, m_blocks, _FRAMES_PER_BLOCK, p_grp)
+    d_all = d0[:, jnp.asarray(fr_safe)]  # (B, M, 4, F_pad)
 
     d_res, d_ims, d_wins = [], [], []
-    for gi, (g0, g1, p) in enumerate(groups):
+    for g0, g1, p in groups:
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_grp, gi, k, t,
+        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_all, g0, k, t,
                                     stride, pad[0], n_frames, interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])
