@@ -8,12 +8,17 @@ in VMEM and writes only per-tile lowpass partial sums, turning the stage
 from bandwidth-bound into MXU-bound.
 
 How (forward), per grid step (batch-tile i, position-block m):
-  1. Read the unfolded waveform slab X[m] = xp[·, 128m : 128m+528].
+  1. Read the waveform slab X[m] = xp[·, 128m : 128m+640] DIRECTLY as
+     _X_CHUNKS=5 shifted 128-tiles of the padded waveform (BlockSpecs
+     indexed (i, m+δ)) — no unfold gather, no (M, B, SLAB) HBM slabs.
   2. Block-Toeplitz conv, real and imaginary banks separately:
      OUT_re[b, r·P + p] = Σ_u X[b,u] · T_re[u, r·P + p]
      with T_re[u, r·P + p] = G_re[u−r, p] (zero outside [0, 401)), built in
-     XLA from the (401, P) bank — MXU matmuls (Bt, 528) @ (528, 128·P)
-     with f32 accumulation. 528/401 → 1.32× FLOP overhead for perfectly
+     XLA from the (401, P) bank — per chunk δ one full K=128 MXU dot
+     (Bt, 128) @ (T rows δ·128..δ·128+127, 128·P) with f32 accumulation;
+     identical pass count to the former single K=528 dot (⌈528/128⌉ = 5).
+     T is padded to _SLAB_PAD=640 zero rows so chunk 5's overhang lanes
+     contribute nothing. 528/401 → 1.32× FLOP overhead for perfectly
      MXU-shaped work; T stays VMEM-resident across the whole grid (its
      index_map is pinned to block 0). Keeping the (position r, pair p)
      layout FLAT avoids Mosaic-unsupported lane-splitting reshapes.
@@ -39,8 +44,8 @@ Channel grouping bounds VMEM: the forward runs up to 24 pairs per kernel
 (its f32 dT accumulators are 528·128·P) — both
 at full 128-row MXU batch tiles thanks to the mod-16 offset alignment
 described at ``_WMARGIN``. The block-Toeplitz bank is gathered ONCE as
-(SLAB, 128, 2F) and sliced per group; the backward reuses it (and the
-unfolded slabs) via the VJP residuals instead of rebuilding.
+(SLAB_PAD, 128, 2F) and sliced per group; the backward reuses it (and the
+padded waveform) via the VJP residuals instead of rebuilding.
 
 Capability parity: this op computes exactly
 GaussianLowPass(SquaredModulus(GaborConv1d(x))) of the reference
@@ -63,7 +68,12 @@ __all__ = ["fused_gabor_sqmod_lowpass", "lowpass_frames_out"]
 
 _POS_BLOCK = 128             # conv output positions per grid step
 _KMAX = 401                  # kernel taps (static for LEAF: 25 ms @ 16 kHz)
-_SLAB = 528                  # _POS_BLOCK + 400, lane-aligned
+_SLAB = 528                  # _POS_BLOCK + 400: true Toeplitz band height
+_X_CHUNKS = 5                # ceil(_SLAB / 128): waveform tiles per block
+_SLAB_PAD = _X_CHUNKS * _POS_BLOCK  # 640: T rows padded so every chunk
+#                              dot is a full K=128 tile (rows ≥ _SLAB are
+#                              zero in T, so the 5th chunk's overhang
+#                              lanes contribute nothing)
 _FRAMES_PER_BLOCK = 4        # ceil((128 + 401) / 160) + boundary slack
 # Window tap-axis padding margin: slot offsets range over
 # off = 128m − stride·fr + pad_l for the 4 candidate frames of a block —
@@ -83,13 +93,16 @@ def lowpass_frames_out(t: int, stride: int, k: int,
 
 
 def _toeplitz_full(bank: jnp.ndarray, dtype) -> jnp.ndarray:
-    """(K, C) filters → block-Toeplitz (SLAB, 128, C): T[u, r, c]=G[u−r, c].
+    """(K, C) filters → block-Toeplitz (SLAB_PAD, 128, C): T[u,r,c]=G[u−r,c].
 
     Built ONCE for all channels (one gather) and sliced per pair-group —
     per-group rebuilds were a measurable share of the op (the gather, not
     the bytes, dominates). The (u, r) leading layout means a channel slice
-    + reshape yields the (SLAB, 128·P) matmul operand with the flat
-    (position r, pair p) minor layout the kernels use.
+    + reshape yields the (SLAB_PAD, 128·P) matmul operand with the flat
+    (position r, pair p) minor layout the kernels use. Rows ≥ _SLAB
+    (the true band height, 528) are zero: the kernels read the waveform
+    as _X_CHUNKS shifted 128-tiles and run one full K=128 dot per chunk;
+    the 5th chunk's overhang lanes hit only these zero rows.
 
     Built as 128 static zero-pads stacked along r — XLA lowers that to
     plain strided copies, ~4× cheaper than the equivalent (528·128)-index
@@ -97,19 +110,19 @@ def _toeplitz_full(bank: jnp.ndarray, dtype) -> jnp.ndarray:
     at LEAF shape)."""
     k, c = bank.shape
     b = bank.astype(dtype)
-    cols = [jnp.pad(b, ((r, _SLAB - k - r), (0, 0)))
+    cols = [jnp.pad(b, ((r, _SLAB_PAD - k - r), (0, 0)))
             for r in range(_POS_BLOCK)]
-    return jnp.stack(cols, axis=1)  # (SLAB, 128, C)
+    return jnp.stack(cols, axis=1)  # (SLAB_PAD, 128, C)
 
 
 def _slice_toeplitz(tfull: jnp.ndarray, g0: int, g1: int,
                     pad_to: int) -> jnp.ndarray:
-    """(SLAB, 128, C) → (SLAB, 128·P) for channels [g0, g1), zero-padded to
-    P=pad_to pairs (zero channels produce zero outputs/grads)."""
+    """(SLAB_PAD, 128, C) → (SLAB_PAD, 128·P) for channels [g0, g1),
+    zero-padded to P=pad_to pairs (zero channels → zero outputs/grads)."""
     t = tfull[:, :, g0:g1]
     if g1 - g0 < pad_to:
         t = jnp.pad(t, ((0, 0), (0, 0), (0, pad_to - (g1 - g0))))
-    return t.reshape(_SLAB, _POS_BLOCK * pad_to)
+    return t.reshape(_SLAB_PAD, _POS_BLOCK * pad_to)
 
 
 def _fold_toeplitz_grad(d_t: jnp.ndarray, k: int) -> jnp.ndarray:
@@ -140,17 +153,31 @@ def _flat_windows(windows: jnp.ndarray) -> jnp.ndarray:
     return wf.reshape(1, _WPAD * p)
 
 
-def _unfold(xp: jnp.ndarray, m_blocks: int) -> jnp.ndarray:
-    """(B, Tp) → (M, B, SLAB) overlapping slabs at stride 128 (XLA gather;
-    ~4× the waveform bytes, still ≪ the intermediates this kernel kills).
-    M leads so Pallas blocks keep (B, SLAB) as the last two dims.
+def _x_specs(bt: int):
+    """_X_CHUNKS BlockSpecs reading the PADDED waveform (B, Tp) directly:
+    chunk δ of grid step (i, m) is xp[i·bt:(i+1)·bt, (m+δ)·128:(m+δ+1)·128].
 
-    Unlike the Toeplitz build/fold, rewriting this as a 125-slice stack
-    measured NO faster (the gather's 528-element minor-dim runs stream
-    well); the gather stays."""
-    idx = (np.arange(m_blocks)[:, None] * _POS_BLOCK
-           + np.arange(_SLAB)[None, :])
-    return xp[:, jnp.asarray(idx)].swapaxes(0, 1)
+    This replaces the former XLA unfold gather that materialized
+    overlapping (M, B, SLAB) slabs in HBM (0.21 ms/step + a 35 MB
+    residual at LEAF shape). Each kernel re-fetches every waveform tile
+    ~5× across m, but that DMA (~41 MB/call) hides entirely under the
+    MXU-bound kernels, while the gather was a serial XLA op."""
+    return [pl.BlockSpec((bt, _POS_BLOCK),
+                         lambda i, m, d=d: (i, m + d),
+                         memory_space=pltpu.VMEM)
+            for d in range(_X_CHUNKS)]
+
+
+def _banded_dot(x_chunks, t_ref):
+    """Σ_δ x_δ @ T[δ·128:(δ+1)·128] — the (Bt, SLAB) @ (SLAB, 128·P) slab
+    contraction as _X_CHUNKS full K=128 tile dots (identical MXU pass
+    count: K=528 already cost ⌈528/128⌉=5 K tiles)."""
+    acc = None
+    for d, xc in enumerate(x_chunks):
+        part = jnp.dot(xc, t_ref[d * _POS_BLOCK:(d + 1) * _POS_BLOCK, :],
+                       preferred_element_type=jnp.float32)
+        acc = part if acc is None else acc + part
+    return acc
 
 
 def _frame_min(m, stride: int, pad_l: int):
@@ -180,12 +207,13 @@ def _pos_mask_flat(m, t_len: int, n_pairs: int) -> jnp.ndarray:
     return (pos < t_len).astype(jnp.float32)
 
 
-def _fwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, out_ref, *, n_pairs: int,
-                t_len: int, stride: int, pad_l: int, n_frames: int):
+def _fwd_kernel(*refs, n_pairs: int, t_len: int, stride: int, pad_l: int,
+                n_frames: int):
+    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wf_ref, out_ref) = refs
     m = pl.program_id(1)
-    x = x_ref[0]                                  # (Bt, SLAB)
-    out_re = jnp.dot(x, tre_ref[:], preferred_element_type=jnp.float32)
-    out_im = jnp.dot(x, tim_ref[:], preferred_element_type=jnp.float32)
+    xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
+    out_re = _banded_dot(xc, tre_ref)
+    out_im = _banded_dot(xc, tim_ref)
     s = out_re * out_re + out_im * out_im         # (Bt, 128·P) flat
     s = s * _pos_mask_flat(m, t_len, n_pairs)
 
@@ -215,9 +243,9 @@ def _fwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, out_ref, *, n_pairs: int,
     out_ref[0] = jnp.concatenate(contribs, axis=1)  # (Bt, 4·P)
 
 
-def _run_fwd_group(xs, t_re, t_im, windows_g, t_len, stride, pad_l,
-                   n_frames, interpret):
-    m_blocks, b, _ = xs.shape
+def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
+                   pad_l, n_frames, interpret):
+    b = xp.shape[0]
     n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
     assert b % bt == 0, f"batch {b} not a multiple of tile {bt}"
@@ -230,12 +258,10 @@ def _run_fwd_group(xs, t_re, t_im, windows_g, t_len, stride, pad_l,
     return pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
-        in_specs=[
-            pl.BlockSpec((1, bt, _SLAB), lambda i, m: (m, i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SLAB, _POS_BLOCK * n_pairs),
+        in_specs=_x_specs(bt) + [
+            pl.BlockSpec((_SLAB_PAD, _POS_BLOCK * n_pairs),
                          lambda i, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((_SLAB, _POS_BLOCK * n_pairs),
+            pl.BlockSpec((_SLAB_PAD, _POS_BLOCK * n_pairs),
                          lambda i, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -250,7 +276,7 @@ def _run_fwd_group(xs, t_re, t_im, windows_g, t_len, stride, pad_l,
         out_shape=jax.ShapeDtypeStruct(
             (m_blocks, b, _FRAMES_PER_BLOCK * n_pairs), jnp.float32),
         interpret=interpret,
-    )(xs, t_re, t_im, wf).swapaxes(0, 1).reshape(
+    )(xp, xp, xp, xp, xp, t_re, t_im, wf).swapaxes(0, 1).reshape(
         b, m_blocks, _FRAMES_PER_BLOCK, n_pairs)
 
 
@@ -270,9 +296,10 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
-                dtre_ref, dtim_ref, dwf_ref, *, n_pairs: int, ch0: int,
+def _bwd_kernel(*refs, n_pairs: int, ch0: int,
                 t_len: int, stride: int, pad_l: int, n_frames: int):
+    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wf_ref, dout_ref,
+     dtre_ref, dtim_ref, dwf_ref) = refs
     i = pl.program_id(0)
     m = pl.program_id(1)
 
@@ -282,16 +309,16 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
         dtim_ref[:] = jnp.zeros_like(dtim_ref)
         dwf_ref[:] = jnp.zeros_like(dwf_ref)
 
-    x = x_ref[0]
-    out_re = jnp.dot(x, tre_ref[:], preferred_element_type=jnp.float32)
-    out_im = jnp.dot(x, tim_ref[:], preferred_element_type=jnp.float32)
+    xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
+    out_re = _banded_dot(xc, tre_ref)
+    out_im = _banded_dot(xc, tim_ref)
     s = out_re * out_re + out_im * out_im
     mask = _pos_mask_flat(m, t_len, n_pairs)
     s = s * mask
 
     fr_min = _frame_min(m, stride, pad_l)
     np_ = n_pairs
-    bt = x.shape[0]
+    bt = x0.shape[0]
     # This group's channel selection is folded into the slot-broadcast
     # matrix: selhot[c, r·P + p] = δ_{c, ch0+p}, built by iota compare —
     # the dout block keeps ALL channels (lane dim F, 128-friendly) and the
@@ -330,25 +357,31 @@ def _bwd_kernel(x_ref, tre_ref, tim_ref, wf_ref, dout_ref,
     # force — ~3× on the dominant backward matmuls; the extra cotangent
     # rounding is the same order as the bf16 forward's own noise. f32
     # compute keeps full f32 operands (parity checks run that path).
-    xt = x.T
-    dtre_ref[:] += jnp.dot(xt, d_re.astype(x.dtype),
-                           preferred_element_type=jnp.float32)
-    dtim_ref[:] += jnp.dot(xt, d_im.astype(x.dtype),
-                           preferred_element_type=jnp.float32)
+    # Per-chunk row-slab accumulation mirrors _banded_dot: chunk δ's
+    # products land in dT rows δ·128..δ·128+127; rows ≥ _SLAB collect the
+    # 5th chunk's overhang garbage, which the diagonal fold never reads.
+    d_re = d_re.astype(x0.dtype)
+    d_im = d_im.astype(x0.dtype)
+    for d, x_d in enumerate(xc):
+        sl = pl.ds(d * _POS_BLOCK, _POS_BLOCK)
+        dtre_ref[sl, :] += jnp.dot(x_d.T, d_re,
+                                   preferred_element_type=jnp.float32)
+        dtim_ref[sl, :] += jnp.dot(x_d.T, d_im,
+                                   preferred_element_type=jnp.float32)
 
 
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
-def _run_bwd_group(xs, t_re, t_im, windows_g, d_all, ch0, k, t_len, stride,
-                   pad_l, n_frames, interpret):
+def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
+                   t_len, stride, pad_l, n_frames, interpret):
     """One backward pair-group. ``d_all`` is the SHARED slot-expanded
     cotangent (B, M, 4, F_pad) in its natural layout — lane dim F, one
     gather to build, no per-group XLA work at all; every group's kernel
     streams the full-channel block and selects its ``ch0``..``ch0+P``
     channels in-kernel via the iota one-hot folded into the
     slot-broadcast matmul (see ``_bwd_kernel``)."""
-    m_blocks, b, _ = xs.shape
+    b = xp.shape[0]
     n_pairs = windows_g.shape[0]
     n_chan = d_all.shape[-1]
     bt = b if b <= 128 else 128
@@ -358,13 +391,11 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_all, ch0, k, t_len, stride,
     kern = functools.partial(
         _bwd_kernel, n_pairs=n_pairs, ch0=ch0, t_len=t_len, stride=stride,
         pad_l=pad_l, n_frames=n_frames)
-    big = (_SLAB, _POS_BLOCK * n_pairs)
+    big = (_SLAB_PAD, _POS_BLOCK * n_pairs)
     dtre, dtim, dwf = pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
-        in_specs=[
-            pl.BlockSpec((1, bt, _SLAB), lambda i, m: (m, i, 0),
-                         memory_space=pltpu.VMEM),
+        in_specs=_x_specs(bt) + [
             pl.BlockSpec(big, lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(big, lambda i, m: (0, 0),
@@ -389,42 +420,40 @@ def _run_bwd_group(xs, t_re, t_im, windows_g, d_all, ch0, k, t_len, stride,
             jax.ShapeDtypeStruct((1, _WPAD * n_pairs), jnp.float32),
         ],
         interpret=interpret,
-    )(xs, t_re, t_im, wf, d_all)
+    )(xp, xp, xp, xp, xp, t_re, t_im, wf, d_all)
 
-    # Toeplitz cotangents returned UNfolded (SLAB, 128, P) — the caller
-    # concatenates all groups/banks and folds once.
+    # Toeplitz cotangents returned UNfolded (SLAB_PAD, 128, P) — the
+    # caller concatenates all groups/banks and folds once (the fold reads
+    # only rows < _SLAB; the padded rows hold chunk-overhang garbage).
     # unflatten dW: dwf[0, (k+_WMARGIN)·P + p] → (P, K)
     d_win = dwf.reshape(_WPAD, n_pairs)[_WMARGIN:_WMARGIN + k].T
-    return (dtre.reshape(_SLAB, _POS_BLOCK, n_pairs),
-            dtim.reshape(_SLAB, _POS_BLOCK, n_pairs), d_win)
+    return (dtre.reshape(_SLAB_PAD, _POS_BLOCK, n_pairs),
+            dtim.reshape(_SLAB_PAD, _POS_BLOCK, n_pairs), d_win)
 
 
 # ------------------------------------------------------------- public API
 
 def _prep(x, pad):
+    """Pad the waveform so every chunk block index m+δ (δ < _X_CHUNKS) is
+    in bounds: length (m_blocks + _X_CHUNKS − 1)·128 ≥ the true band need
+    m_blocks·128 + 400. No unfold — kernels read xp directly."""
     b, t = x.shape
     xp = jnp.pad(x, ((0, 0), (pad[0], pad[1])))
     m_blocks = -(-t // _POS_BLOCK)
-    need = m_blocks * _POS_BLOCK + (_SLAB - _POS_BLOCK)
+    need = (m_blocks + _X_CHUNKS - 1) * _POS_BLOCK
     if need > xp.shape[1]:
         xp = jnp.pad(xp, ((0, 0), (0, need - xp.shape[1])))
-    return _unfold(xp, m_blocks), t, m_blocks
+    return xp, t, m_blocks
 
 
 # Pair-group sizes MUST make every dynamic lane offset a multiple of 128:
 # offsets are (off + _WMARGIN)·P with off + _WMARGIN ≡ 0 (mod 16) always
 # (see _WMARGIN), so any P that is a multiple of 8 gives 16·P ≡ 0 (mod 128)
 # STATICALLY (Mosaic must prove alignment at compile time; P=20 fails).
-# The forward runs up to 24 pairs per kernel: VMEM is T_re/T_im
-# (2×528·128·P at the compute dtype) PLUS the kernel's live f32
-# (Bt, 128·P) intermediates (out_re/out_im) — P=40 bf16 measures 16.96 MB
-# against the 16 MB scoped limit at Bt=128; P=24 fits for BOTH compute
-# dtypes (bf16 ≈ 10.4 MB; f32 T operands are pinned input blocks rather
-# than scoped stack, and f32 P=24 at Bt=128 is verified compiling and
-# running on the v5e — scripts/kernel_microbench.py op_*_f32). LEAF's
-# F=40 → groups [24, 16], zero padding waste. The backward is capped at 8
-# by its f32 dT accumulators.
-_FWD_MAX_PAIRS = 24
+# Forward group size: see _fwd_max_pairs (VMEM is T_re/T_im at
+# 2×_SLAB_PAD·128·P at the compute dtype plus the kernel's live f32
+# (Bt, 128·P) intermediates). The backward is capped at 8 by its f32 dT
+# accumulators.
 
 
 def _pair_groups(f, max_pairs):
@@ -478,34 +507,42 @@ def _check_geometry(gabor, stride, pad):
             f"stride={stride}, pad={tuple(pad)}")
 
 
+def _fwd_max_pairs(dtype) -> int:
+    """24 pairs/launch under bf16 ([24, 16] for LEAF's F=40, zero padding
+    waste); 16 under f32 — the f32 Toeplitz operands at _SLAB_PAD rows
+    (640·128·24·4 B ≈ 7.9 MB ×2 banks) no longer fit the 16 MB VMEM
+    budget at P=24 (the f32 path exists for parity checks, not speed)."""
+    return 24 if dtype == jnp.bfloat16 else 16
+
+
 def _fused_fwd(x, gabor, windows, stride, pad, interpret):
     _check_geometry(gabor, stride, pad)
-    xs, t, m_blocks = _prep(x, pad)
+    xp, t, m_blocks = _prep(x, pad)
     n_frames = lowpass_frames_out(t, stride, gabor.shape[0], pad)
     f = gabor.shape[1] // 2
     tfull = _toeplitz_full(gabor, x.dtype)  # one gather for all channels
     outs = []
-    for g0, g1, p in _pair_groups(f, _FWD_MAX_PAIRS):
+    for g0, g1, p in _pair_groups(f, _fwd_max_pairs(x.dtype)):
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        part = _run_fwd_group(xs, t_re, t_im, win_g, t, stride, pad[0],
-                              n_frames, interpret)
+        part = _run_fwd_group(xp, m_blocks, t_re, t_im, win_g, t, stride,
+                              pad[0], n_frames, interpret)
         outs.append(_combine_partials(part, m_blocks, stride, pad[0],
                                       n_frames)[..., :g1 - g0])
     out = jnp.concatenate(outs, axis=-1)
-    # Residuals carry the unfolded slabs + Toeplitz bank so the backward
-    # re-runs neither the unfold gather nor the Toeplitz build (pure
-    # recompute of the matmuls stays in-kernel where it is MXU-cheap).
-    return out, (x, xs, tfull, gabor, windows)
+    # Residuals carry the padded waveform + Toeplitz bank so the backward
+    # re-runs neither the pad nor the Toeplitz build (pure recompute of
+    # the matmuls stays in-kernel where it is MXU-cheap).
+    return out, (x, xp, tfull, gabor, windows)
 
 
 def _fused_bwd(stride, pad, interpret, res, d_out):
-    x, xs, tfull, gabor, windows = res
+    x, xp, tfull, gabor, windows = res
     k, c = gabor.shape
     f = c // 2
     t = x.shape[1]
-    m_blocks = xs.shape[0]
+    m_blocks = -(-t // _POS_BLOCK)
     n_frames = lowpass_frames_out(t, stride, k, pad)
 
     fr_ids = (_frame_min_np(m_blocks, stride, pad[0])[:, None]
@@ -534,8 +571,9 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        dr, di, dw = _run_bwd_group(xs, t_re, t_im, win_g, d_all, g0, k, t,
-                                    stride, pad[0], n_frames, interpret)
+        dr, di, dw = _run_bwd_group(xp, m_blocks, t_re, t_im, win_g, d_all,
+                                    g0, k, t, stride, pad[0], n_frames,
+                                    interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])
         d_wins.append(dw[:g1 - g0])
