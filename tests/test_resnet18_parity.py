@@ -66,12 +66,11 @@ def _copy_bn(dst_bn, fl_bn):
     dst_bn.bias.copy_(_t(fl_bn["BatchNorm_0"]["bias"]))
 
 
-def _inject_resnet18(variables, ref_model):
-    p = variables["params"]
-    inject_frontend_params(p["features"], ref_model.features)
+def inject_resnet_backbone(m, bb):
+    """Copy OUR Flax ResNet params ``m`` (stem + 4 stages + fc) into the
+    reference torch backbone ``bb`` (resnet.py:61-171). Shared with the
+    NetVLAD/vlad-pool parity suite (test_netvlad_parity.py)."""
     with torch.no_grad():
-        m = p["model"]
-        bb = ref_model.model
         bb.conv1.weight.copy_(_t(m["conv1"]["kernel"]).permute(3, 2, 0, 1))
         _copy_bn(bb.bn1, m["bn1"])
         for s, layer in enumerate(
@@ -91,6 +90,12 @@ def _inject_resnet18(variables, ref_model):
                     _copy_bn(blk.downsample[1], fl["downsample_bn"])
         bb.fc.weight.copy_(_t(m["fc"]["kernel"]).T)
         bb.fc.bias.copy_(_t(m["fc"]["bias"]))
+
+
+def _inject_resnet18(variables, ref_model):
+    p = variables["params"]
+    inject_frontend_params(p["features"], ref_model.features)
+    inject_resnet_backbone(p["model"], ref_model.model)
 
 
 class _RefClassifier(torch.nn.Module):
