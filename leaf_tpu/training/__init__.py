@@ -10,6 +10,7 @@ from leaf_tpu.training.steps import (
     bce_logits_loss,
     cross_entropy_loss,
     make_eval_step,
+    make_train_multistep,
     make_train_step,
     mixup,
 )
@@ -21,6 +22,7 @@ __all__ = [
     "ReduceLROnPlateau",
     "TrainState",
     "make_train_step",
+    "make_train_multistep",
     "make_eval_step",
     "mixup",
     "cross_entropy_loss",

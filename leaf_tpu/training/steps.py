@@ -28,8 +28,8 @@ import optax
 from leaf_tpu.training.state import TrainState
 
 __all__ = ["cross_entropy_loss", "bce_logits_loss", "mixup",
-           "make_train_step", "make_eval_step", "waveform_from_wire",
-           "pad_batch_to_multiple"]
+           "make_train_step", "make_train_multistep", "make_eval_step",
+           "waveform_from_wire", "pad_batch_to_multiple"]
 
 
 def waveform_from_wire(x: jnp.ndarray) -> jnp.ndarray:
@@ -115,6 +115,21 @@ def make_train_step(
     histogram story (reference: train_xla.py:243-244) without shipping
     whole tensors to host.
     """
+    step = _train_step_body(model_type, mixup_alpha, augment_fn,
+                            watch_norms, watch_histograms)
+    return jax.jit(step, donate_argnums=(0,) if donate else ())
+
+
+def _train_step_body(
+    model_type: str,
+    mixup_alpha: Optional[float],
+    augment_fn: Optional[Callable],
+    watch_norms: bool = False,
+    watch_histograms: bool = False,
+) -> Callable:
+    """The un-jitted (state, x, y, rng) → (state, metrics) step body —
+    shared by ``make_train_step`` (jit per call) and
+    ``make_train_multistep`` (lax.scan over K calls in one program)."""
     multilabel = model_type == "multilabel"
     loss_fn_inner = bce_logits_loss if multilabel else cross_entropy_loss
 
@@ -176,7 +191,52 @@ def make_train_step(
             metrics["_grads"] = grads
         return new_state, metrics
 
-    return jax.jit(step, donate_argnums=(0,) if donate else ())
+    return step
+
+
+def make_train_multistep(
+    steps_per_call: int,
+    model_type: str = "multiclass",
+    mixup_alpha: Optional[float] = None,
+    donate: bool = True,
+    augment_fn: Optional[Callable] = None,
+) -> Callable:
+    """K train steps fused into ONE compiled program via ``lax.scan``.
+
+    Signature: (state, xs (K, B, T), ys (K, B[, C]), rng) →
+    (state, {'loss' (mean over the K steps), 'correct', 'count' (sums)}).
+
+    Why: a per-step execute call pays host→device dispatch that the device
+    cannot overlap past a point — the round-3 profile shows ~2.3 ms/step of
+    inter-op/dispatch gap around 13.7 ms of busy work (BASELINE.md). One
+    scan-fused program dispatches once per K steps and runs the identical
+    step body back-to-back on device; numerics are exactly K sequential
+    ``make_train_step`` calls (same per-step PRNG folding via
+    ``state.step``), asserted in tests/test_training.py. The reference's
+    loop is strictly one step per host iteration (train_xla.py:259-294).
+
+    The watch_norms/histogram paths stay per-step — drivers that log
+    per-step tensor stats should keep steps_per_call=1 for those runs.
+    """
+    if steps_per_call < 1:
+        raise ValueError(f"steps_per_call must be ≥ 1: {steps_per_call}")
+    body = _train_step_body(model_type, mixup_alpha, augment_fn)
+
+    def multi(state: TrainState, xs: jnp.ndarray, ys: jnp.ndarray,
+              rng: jax.Array) -> Tuple[TrainState, Dict[str, jnp.ndarray]]:
+        def scan_body(st, xy):
+            st, m = body(st, xy[0], xy[1], rng)
+            return st, (m["loss"], m["correct"], m["count"])
+
+        state, (losses, corrects, counts) = jax.lax.scan(
+            scan_body, state, (xs, ys), length=steps_per_call)
+        return state, {
+            "loss": losses.mean(),
+            "correct": corrects.sum(),
+            "count": counts.sum(),
+        }
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
 
 
 def make_eval_step(model_type: str = "multiclass") -> Callable:

@@ -248,6 +248,50 @@ class TestSteps:
         assert losses[-1] < losses[0], losses  # memorizing 4 samples
         assert np.isfinite(losses).all()
 
+    def test_multistep_matches_sequential_single_steps(self):
+        """make_train_multistep(K) (one lax.scan-fused program) must be
+        numerically identical to K sequential make_train_step calls: same
+        final params/opt-state/batch_stats, loss mean, and correct/count
+        sums — the per-step PRNG folds on state.step in both paths."""
+        from leaf_tpu.training import make_train_multistep
+
+        k = 3
+        state_a, _ = _tiny_classifier_state()
+        state_b, _ = _tiny_classifier_state()
+        rng = jax.random.PRNGKey(7)
+        rs = np.random.RandomState(11)
+        xs = jnp.asarray(rs.randn(k, 4, 16000).astype(np.float32) * 0.1)
+        ys = jnp.asarray(rs.randint(0, 5, size=(k, 4)).astype(np.int32))
+
+        step = make_train_step("multiclass", donate=False)
+        losses, corrects, counts = [], 0, 0
+        for i in range(k):
+            state_a, m = step(state_a, xs[i], ys[i], rng)
+            losses.append(float(m["loss"]))
+            corrects += int(m["correct"])
+            counts += int(m["count"])
+
+        multi = make_train_multistep(k, "multiclass", donate=False)
+        state_b, mm = multi(state_b, xs, ys, rng)
+
+        assert int(state_b.step) == int(state_a.step) == k
+        np.testing.assert_allclose(float(mm["loss"]), np.mean(losses),
+                                   rtol=1e-6)
+        assert int(mm["correct"]) == corrects
+        assert int(mm["count"]) == counts
+        # The scan-fused program fuses/reassociates differently from the
+        # per-step program; Adam's rsqrt amplifies that f32 noise to ~3e-5
+        # on params after 3 steps (measured on CPU). Logic errors (wrong
+        # RNG fold, stale state, reordered batches) produce O(1e-2) drift.
+        for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=2e-4, rtol=1e-4)
+        for la, lb in zip(jax.tree_util.tree_leaves(state_a.batch_stats),
+                          jax.tree_util.tree_leaves(state_b.batch_stats)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=5e-5, rtol=1e-4)
+
     def test_train_step_int16_wire_matches_float(self):
         # int16 wire batches (waveform_from_wire in-step decode) must give
         # the SAME loss as the float32 path — the scale 1/32768 is exact.
