@@ -19,9 +19,9 @@ import jax
 import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-__all__ = ["make_mesh", "batch_sharding", "replicated_sharding",
-           "shard_batch", "shard_params", "local_batch_slice",
-           "loader_batch_size"]
+__all__ = ["make_mesh", "batch_sharding", "stacked_batch_sharding",
+           "replicated_sharding", "shard_batch", "shard_params",
+           "local_batch_slice", "loader_batch_size"]
 
 
 def loader_batch_size(cfg_batch_size: int, n_devices: int,
@@ -80,19 +80,28 @@ def batch_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 
 
+def stacked_batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Sharding for a K-stacked batch (K, B, ...): the scan/steps axis K is
+    replicated, the batch axis B is sharded over 'data' — the layout
+    ``make_train_multistep`` consumes (each of the K inner steps runs the
+    ordinary data-parallel step over axis B)."""
+    return NamedSharding(mesh, P(None, "data"))
+
+
 def replicated_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P())
 
 
-def shard_batch(mesh: Mesh, batch):
+def shard_batch(mesh: Mesh, batch, stacked: bool = False):
     """Place every array in a batch PyTree with its leading axis sharded
-    over the 'data' mesh axis.
+    over the 'data' mesh axis (``stacked=True``: leading axis is a K-steps
+    stack, the SECOND axis is the batch — see ``stacked_batch_sharding``).
 
     Single-process: a plain device_put. Multi-host: each process holds its
     LOCAL manifest shard (see ShardedSampler), so the global array is
     assembled with ``make_array_from_process_local_data`` — the JAX
     equivalent of the reference's per-ordinal DistributedSampler feed."""
-    sharding = batch_sharding(mesh)
+    sharding = stacked_batch_sharding(mesh) if stacked else batch_sharding(mesh)
     if jax.process_count() > 1:
         return jax.tree_util.tree_map(
             lambda x: jax.make_array_from_process_local_data(

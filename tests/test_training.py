@@ -292,6 +292,49 @@ class TestSteps:
             np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
                                        atol=5e-5, rtol=1e-4)
 
+    def test_multistep_remainder_path_with_augment_and_wire(self):
+        """The driver's full K-fused epoch shape — one fused K-group then
+        remainder singles — with the ingredients train.py adds on top of
+        the plain step (on-device augment + int16 wire batches) must track
+        the all-singles run: mean loss to ~1e-4 rel, params within the
+        Adam-amplified fusion-noise envelope (measured ~7e-4 after 6
+        steps; wiring bugs — skipped/reordered batches, wrong RNG fold —
+        give O(1e-1))."""
+        from leaf_tpu.data.device_augment import leaf_device_augment
+        from leaf_tpu.training import make_train_multistep
+
+        k, n = 4, 6
+        state_a, _ = _tiny_classifier_state()
+        state_b, _ = _tiny_classifier_state()
+        rng = jax.random.PRNGKey(7)
+        rs = np.random.RandomState(11)
+        xs = (rs.randn(n, 4, 16000) * 3000).astype(np.int16)
+        ys = rs.randint(0, 5, size=(n, 4)).astype(np.int32)
+
+        step = make_train_step("multiclass", donate=False,
+                               augment_fn=leaf_device_augment)
+        single_losses = []
+        for i in range(n):
+            state_a, m = step(state_a, jnp.asarray(xs[i]),
+                              jnp.asarray(ys[i]), rng)
+            single_losses.append(float(m["loss"]))
+
+        multi = make_train_multistep(k, "multiclass", donate=False,
+                                     augment_fn=leaf_device_augment)
+        state_b, mm = multi(state_b, jnp.asarray(xs[:k]),
+                            jnp.asarray(ys[:k]), rng)
+        np.testing.assert_allclose(float(mm["loss"]),
+                                   np.mean(single_losses[:k]), rtol=1e-3)
+        for i in range(k, n):
+            state_b, _ = step(state_b, jnp.asarray(xs[i]),
+                              jnp.asarray(ys[i]), rng)
+
+        assert int(state_b.step) == int(state_a.step) == n
+        for la, lb in zip(jax.tree_util.tree_leaves(state_a.params),
+                          jax.tree_util.tree_leaves(state_b.params)):
+            np.testing.assert_allclose(np.asarray(la), np.asarray(lb),
+                                       atol=5e-3, rtol=1e-2)
+
     def test_train_step_int16_wire_matches_float(self):
         # int16 wire batches (waveform_from_wire in-step decode) must give
         # the SAME loss as the float32 path — the scale 1/32768 is exact.

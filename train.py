@@ -80,6 +80,14 @@ def parse_args():
                         "scale-equivariant (crop/pad only)")
     p.add_argument("--bf16", action="store_true",
                    help="run the model in bfloat16 compute (fp32 params)")
+    p.add_argument("--steps_per_call", type=int, default=1,
+                   help="fuse K optimizer steps into one compiled program "
+                        "(lax.scan): the host dispatches once per K steps, "
+                        "hiding per-step dispatch overhead (~2.3 ms/step "
+                        "on the profiled v5e step, BASELINE.md). Numerics "
+                        "are identical to K single steps. Forced to 1 when "
+                        "--wandb_watch_model/--watch_histograms need "
+                        "per-step metrics.")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu) before first use")
@@ -289,10 +297,20 @@ def train(args):
             val_needs_norm = True
         if args.watch_histograms:
             args.watch_model = True
+        k_fuse = max(1, args.steps_per_call)
+        if k_fuse > 1 and args.watch_model:
+            print("note: --steps_per_call forced to 1 — "
+                  "--wandb_watch_model/--watch_histograms log per-step")
+            k_fuse = 1
         train_step = make_train_step(
             mode, mixup_alpha=1.0 if use_mixup else None,
             augment_fn=tr_augment, watch_norms=args.watch_model,
             watch_histograms=args.watch_histograms)
+        if k_fuse > 1:
+            from leaf_tpu.training import make_train_multistep
+            train_multistep = make_train_multistep(
+                k_fuse, mode, mixup_alpha=1.0 if use_mixup else None,
+                augment_fn=tr_augment)
         eval_step = make_eval_step(mode)
         step_rng = jax.random.PRNGKey(args.random_seed + 1)
 
@@ -315,8 +333,37 @@ def train(args):
 
         def place(batch):
             bx, by = batch
-            return (shard_batch(mesh, jnp.asarray(bx)),
-                    shard_batch(mesh, jnp.asarray(by)))
+            return ("single",
+                    (shard_batch(mesh, jnp.asarray(bx)),
+                     shard_batch(mesh, jnp.asarray(by))))
+
+        # --steps_per_call K > 1: feed K-stacked batches so the scan-fused
+        # program runs K optimizer steps per dispatch; the epoch's trailing
+        # remainder (< K batches) flows through the single-step program.
+        def group_feed(it, k):
+            buf = []
+            for b in it:
+                buf.append(b)
+                if len(buf) == k:
+                    yield ("multi", buf)
+                    buf = []
+            for b in buf:
+                yield ("single", b)
+
+        def place_any(item):
+            tag, payload = item
+            if tag == "single":
+                return place(payload)
+            xs = np.stack([np.asarray(b[0]) for b in payload])
+            ys = np.stack([np.asarray(b[1]) for b in payload])
+            return (tag, (shard_batch(mesh, xs, stacked=True),
+                          shard_batch(mesh, ys, stacked=True)))
+
+        def make_feed(loader_iter):
+            if k_fuse == 1:
+                return prefetch_to_device(loader_iter, place)
+            return prefetch_to_device(group_feed(loader_iter, k_fuse),
+                                      place_any)
 
         # Preemption safety (↑ over the reference, which has no handling —
         # SURVEY §5 "failure detection": resume was manual-only): on
@@ -341,21 +388,35 @@ def train(args):
             tracker = RateTracker()
             ep_loss = ep_correct = ep_count = None
             t0 = time.time()
-            bi = -1
-            for bi, (xb, yb) in enumerate(
-                    prefetch_to_device(iter(train_loader), place)):
-                state, metrics = train_step(state, xb, yb, step_rng)
+            steps_done = 0
+            for tag, (xb, yb) in make_feed(iter(train_loader)):
+                if tag == "multi":
+                    state, metrics = train_multistep(state, xb, yb, step_rng)
+                    n_new = xb.shape[0]
+                    loss_sum = metrics["loss"] * n_new  # multi returns mean
+                    clips = xb.shape[0] * xb.shape[1]
+                else:
+                    state, metrics = train_step(state, xb, yb, step_rng)
+                    n_new, loss_sum, clips = 1, metrics["loss"], xb.shape[0]
+                prev_steps = steps_done
+                steps_done += n_new
+                bi = steps_done - 1  # index of the last completed step
                 # accumulate ON DEVICE — no per-step host sync
                 if ep_loss is None:
-                    ep_loss = metrics["loss"]
+                    ep_loss = loss_sum
                     ep_correct = metrics["correct"]
                     ep_count = metrics["count"]
                 else:
-                    ep_loss = ep_loss + metrics["loss"]
+                    ep_loss = ep_loss + loss_sum
                     ep_correct = ep_correct + metrics["correct"]
                     ep_count = ep_count + metrics["count"]
-                tracker.add(xb.shape[0])
-                if bi % args.log_steps == 0:
+                tracker.add(clips)
+                # with K-fused calls, "every log_steps steps" means: did
+                # this call cross a multiple-of-log_steps boundary?
+                at_log = (prev_steps == 0
+                          or bi // args.log_steps > (prev_steps - 1)
+                          // args.log_steps)
+                if at_log:
                     logger.print(
                         f"epoch {epoch} step {bi}/{steps_per_epoch} "
                         f"rate {tracker.rate():.1f} ex/s "
@@ -381,9 +442,9 @@ def train(args):
                     # SAME step or the rest deadlock in the next step's
                     # collectives / orbax barriers. Reach consensus at log
                     # boundaries — a scalar all-gather over DCN, bounded
-                    # skew of log_steps steps, same bi (so the same
-                    # rewind) on every host.
-                    if bi % args.log_steps == 0:
+                    # skew of log_steps steps, same steps_done (so the
+                    # same rewind) on every host.
+                    if at_log:
                         from jax.experimental import multihost_utils
                         stop_now = bool(multihost_utils.process_allgather(
                             np.asarray([1 if preempted else 0])).any())
@@ -397,7 +458,7 @@ def train(args):
                     # mid-epoch steps must not advance warmupcosine/StepLR.
                     from leaf_tpu.training.state import rewind_steps
                     path = save_checkpoint(
-                        args.expdir, rewind_steps(state, bi + 1), epoch,
+                        args.expdir, rewind_steps(state, steps_done), epoch,
                         float(metrics["loss"]),
                         -1.0, -1.0, scheduler_state=sched_state,
                         dir_suffix="_preempt", meta_epoch=epoch - 1)
@@ -406,7 +467,7 @@ def train(args):
                         f"to {path}; resume with --continue_from_ckpt latest")
                     logger.close()
                     return best_val
-            n_steps = bi + 1
+            n_steps = steps_done
             if n_steps == 0:
                 raise RuntimeError(
                     "train loader produced zero batches — the training "
