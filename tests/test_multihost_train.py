@@ -59,9 +59,18 @@ def _run_pair(tiny_exp, expdir, epochs, extra=()):
     procs = [_launch(tiny_exp, expdir, port, i, epochs, extra)
              for i in range(2)]
     outs = []
-    for p in procs:
-        out, _ = p.communicate(timeout=900)
-        outs.append(out)
+    try:
+        for p in procs:
+            out, _ = p.communicate(timeout=900)
+            outs.append(out)
+    finally:
+        # On timeout (e.g. a gloo deadlock under CPU oversubscription)
+        # BOTH processes must die here — train.py traps SIGTERM for its
+        # preemption path and a process stuck in a collective never
+        # reaches the preemption check, so SIGKILL, not terminate().
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
     for p, out in zip(procs, outs):
         assert p.returncode == 0, out[-4000:]
     return outs
