@@ -168,7 +168,8 @@ def _flagship_cfg(bf16: bool) -> dict:
 
 def bench_ours(batch: int = BATCH, steps: int = STEPS,
                warmup: int = WARMUP, frontend_only: bool = False,
-               inference_only: bool = False, bf16: bool = False):
+               inference_only: bool = False, bf16: bool = False,
+               steps_per_call: int = 1):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -220,9 +221,33 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     # donate=True is what train.py runs; donate=False made XLA insert
     # ~1 ms/step of defensive copies of params/opt-state (visible as
     # copy.* ops in the profile). The old state is never reused here.
-    train_step = make_train_step("multiclass", donate=True)
     ys = jnp.asarray(np.arange(batch, dtype=np.int32) % 35)
     rng = jax.random.PRNGKey(1)
+
+    if steps_per_call > 1:
+        # scan-fused program: K optimizer steps per host dispatch (what
+        # `train.py --steps_per_call K` runs) — measures how much of the
+        # per-call dispatch gap the fusion hides. The chained optimizer
+        # state already defeats memoization, so 2 stacked buffers suffice.
+        from leaf_tpu.training import make_train_multistep
+        k = steps_per_call
+        multi = make_train_multistep(k, "multiclass", donate=True)
+        xs_stacked = [jnp.asarray(
+            rng0.randn(k, batch, SR).astype("float32") * 0.1)
+            for _ in range(2)]
+        ys_stacked = jnp.tile(ys, (k, 1))
+        n_calls = max(1, steps // k)
+
+        def stepk(xx):
+            new_state, metrics = multi(state_holder[0], xx, ys_stacked, rng)
+            state_holder[0] = new_state
+            return metrics["loss"]
+
+        dt = _timed_loop(stepk, xs_stacked, n_calls,
+                         max(1, warmup // k))
+        return batch * k * n_calls / dt
+
+    train_step = make_train_step("multiclass", donate=True)
 
     def step(xx):
         # real optimizer update carried across steps — states differ each
@@ -423,6 +448,10 @@ def main():
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--batch", type=int, default=BATCH)
     p.add_argument("--steps", type=int, default=STEPS)
+    p.add_argument("--steps-per-call", type=int, default=1,
+                   help="fuse K optimizer steps per dispatch via lax.scan "
+                        "(train-step metric only; matches train.py "
+                        "--steps_per_call)")
     p.add_argument("--health", action="store_true",
                    help="only run the tunnel health probe and print it")
     p.add_argument("--skip-health", action="store_true",
@@ -492,7 +521,8 @@ def main():
 
     rate = bench_ours(args.batch, args.steps,
                       frontend_only=args.frontend_only,
-                      inference_only=args.inference, bf16=bf16)
+                      inference_only=args.inference, bf16=bf16,
+                      steps_per_call=args.steps_per_call)
 
     baseline = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -510,7 +540,9 @@ def main():
               else "train_step_clips_per_sec")
     line = {
         "metric": f"{metric}_{platform}_bs{args.batch}"
-                  + ("_bf16" if bf16 else "_f32"),
+                  + ("_bf16" if bf16 else "_f32")
+                  + (f"_k{args.steps_per_call}"
+                     if args.steps_per_call > 1 else ""),
         "value": round(rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(rate / baseline, 3) if baseline else 0.0,
