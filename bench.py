@@ -59,16 +59,34 @@ _HEALTHY_TFLOPS = {
 }
 
 
-def tunnel_health_probe(max_wait_s: float = 1500.0, min_frac: float = 0.3):
-    """Measure sustained bf16-matmul TFLOP/s and wait out tunnel slumps.
+_PROBE_CHAIN = 24  # matmuls per pipelined probe call (~6.6 TFLOP)
 
-    The tunneled chip periodically degrades ~20-30× for tens of minutes
-    (observed 2026-08-17: 4.5 TFLOP/s vs the healthy 105 for >1 h). A
-    benchmark recorded during such a slump is meaningless, so: probe a
-    4096³ matmul; while it runs below ``min_frac`` of the healthy rate for
-    this device kind, sleep and re-probe, up to ``max_wait_s``. Returns the
-    final TFLOP/s — callers record it next to their numbers so a reading
-    taken during an unrecovered slump is visibly flagged.
+
+def tunnel_health_probe(max_wait_s: float = 1500.0, min_frac: float = 0.3):
+    """Measure PIPELINED bf16-matmul TFLOP/s and wait out tunnel slumps.
+
+    The tunnel has (at least) two degradation regimes, and only one of
+    them invalidates benchmarks:
+
+    - **congestion**: command/data flow itself stalls — every timed run
+      is garbage (observed 2026-08-17: >1 h). Must wait it out.
+    - **latency-only**: per-call round-trip balloons (~25-30 ms) while
+      enqueued work still streams at full device rate (observed
+      2026-08-18: a single synced 4096³ matmul read 4.6 TFLOP/s while
+      the chained train-step benchmark simultaneously ran at its
+      trace-predicted 14.7 ms/step floor). Benchmarks that follow the
+      `_timed_loop` discipline (async enqueue, one barrier) are fully
+      valid in this regime.
+
+    A single synced matmul (1.3 ms of compute) cannot tell these apart —
+    it is RTT-dominated either way. So the gate times ``_PROBE_CHAIN``
+    dependent matmuls inside ONE ``fori_loop`` dispatch (~63 ms of device
+    work, one barrier): congestion shows up, pure RTT amortizes away.
+    The per-call RTT is measured separately and printed as context.
+    While the pipelined rate is below ``min_frac`` of the healthy rate,
+    sleep and re-probe, up to ``max_wait_s``. Returns the final pipelined
+    TFLOP/s — callers record it next to their numbers so a reading taken
+    during an unrecovered slump is visibly flagged.
     On real (untunneled) hosts the first probe passes and costs ~1 s.
     """
     import sys
@@ -79,28 +97,55 @@ def tunnel_health_probe(max_wait_s: float = 1500.0, min_frac: float = 0.3):
     kind = jax.devices()[0].device_kind
     healthy = _HEALTHY_TFLOPS.get(kind)
     f = jax.jit(lambda a: a @ a)
+
+    def _chain(a, t):
+        # K dependent matmuls; ones @ ones / 4096 = ones EXACTLY in bf16,
+        # so loop values stay bounded for any K. Distinctness across probe
+        # calls comes from the t argument (a fresh buffer with a fresh
+        # value, scaling the result) — the tunnel memoizes identical
+        # (executable, args) executions, and a distinct t defeats that;
+        # within one execution there is nothing to memoize.
+        def body(i, y):
+            del i
+            return (y @ y) * (1.0 / 4096.0)
+        return jax.lax.fori_loop(0, _PROBE_CHAIN, body, a)[0, 0] * t
+
+    chain = jax.jit(_chain)
     x = jnp.ones((4096, 4096), jnp.bfloat16)
     float(f(x)[0, 0])  # compile + first-touch (slow during slumps)
+    float(chain(x, jnp.asarray(0.0, jnp.bfloat16)))
     deadline = time.time() + max_wait_s
     attempt = 0
     while True:
-        best = 0.0
-        for i in range(3):
-            y = x * (attempt * 3 + i + 2)  # distinct buffers: no memoization
+        best, rtt = 0.0, float("inf")
+        for i in range(2):
+            t = jnp.asarray(attempt * 2 + i + 1, jnp.bfloat16)
             t0 = time.perf_counter()
-            float(f(y)[0, 0])
-            best = max(best, 2 * 4096 ** 3 / (time.perf_counter() - t0) / 1e12)
+            float(f(x * t)[0, 0])  # single synced matmul: RTT reading
+            rtt = min(rtt, time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            v = float(chain(x, t))
+            dt = time.perf_counter() - t0
+            assert v == v
+            best = max(best,
+                       _PROBE_CHAIN * 2 * 4096 ** 3 / dt / 1e12)
         attempt += 1
         if healthy is None or best >= min_frac * healthy \
                 or time.time() > deadline:
             if healthy is not None and best < min_frac * healthy:
                 print(f"WARNING: device still degraded after "
-                      f"{max_wait_s:.0f}s wait: {best:.1f} TFLOP/s vs "
-                      f"healthy {healthy:.0f} — numbers below are NOT "
-                      f"representative", file=sys.stderr)
+                      f"{max_wait_s:.0f}s wait: pipelined {best:.1f} "
+                      f"TFLOP/s vs healthy {healthy:.0f} — numbers below "
+                      f"are NOT representative", file=sys.stderr)
+            elif healthy is not None and rtt > 0.01:
+                print(f"note: link in latency-only degradation "
+                      f"(per-call RTT {rtt * 1e3:.0f} ms) — pipelined "
+                      f"rate {best:.1f} TFLOP/s is healthy; chained "
+                      f"benchmarks are valid", file=sys.stderr)
             return round(best, 1)
-        print(f"device degraded ({best:.1f} TFLOP/s vs healthy "
-              f"{healthy:.0f}); waiting for recovery...", file=sys.stderr)
+        print(f"device degraded (pipelined {best:.1f} TFLOP/s vs healthy "
+              f"{healthy:.0f}, per-call RTT {rtt * 1e3:.0f} ms); waiting "
+              f"for recovery...", file=sys.stderr)
         time.sleep(60)
 
 
