@@ -11,6 +11,7 @@ from leaf_tpu.frontend.initializers import GaborInit, make_initializer
 from leaf_tpu.frontend.melbanks import melscale_fbanks
 from leaf_tpu.frontend.pooling import GaussianLowPass
 from leaf_tpu.frontend.postprocessing import ExponentialMovingAverage, PCENLayer, ema_scan
+from leaf_tpu.frontend.streaming import LeafStreamer, StreamingLeafCell, streaming_geometry
 
 __all__ = [
     "GaborConstraint",
@@ -30,4 +31,7 @@ __all__ = [
     "ExponentialMovingAverage",
     "PCENLayer",
     "ema_scan",
+    "LeafStreamer",
+    "StreamingLeafCell",
+    "streaming_geometry",
 ]
