@@ -21,4 +21,9 @@ boundaries.
 __version__ = "0.2.0"
 
 from leaf_tpu.frontend import Leaf, get_frontend  # noqa: F401
-from leaf_tpu.serving import ServingModel, save_exported  # noqa: F401
+from leaf_tpu.serving import (  # noqa: F401
+    ServingModel,
+    StreamingServingModel,
+    save_exported,
+    save_exported_streaming,
+)

@@ -258,19 +258,28 @@ class LeafStreamer:
 
     def __init__(self, leaf: Leaf, variables, chunk_size: int,
                  batch_size: Optional[int] = None):
-        geo = streaming_geometry(leaf.window_size, leaf.stride)
         if leaf.mean_var_norm:
             raise ValueError("mean_var_norm cannot be streamed.")
-        if chunk_size % leaf.stride != 0:
+        self.leaf = leaf
+        self.variables = variables
+        self._setup(leaf.stride, leaf.n_filters,
+                    streaming_geometry(leaf.window_size, leaf.stride),
+                    chunk_size, batch_size)
+
+    def _setup(self, hop: int, n_filters: int, geo: dict,
+               chunk_size: int, batch_size: Optional[int]):
+        """Shared bookkeeping init (also used by the AOT-exported serving
+        wrapper, leaf_tpu/serving.py StreamingServingModel)."""
+        if chunk_size % hop != 0:
             raise ValueError(
                 f"chunk_size must be a multiple of the hop "
-                f"({leaf.stride}): {chunk_size}")
+                f"({hop}): {chunk_size}")
         if chunk_size < geo["min_chunk"]:
             raise ValueError(
                 f"chunk_size must be ≥ {geo['min_chunk']} "
                 f"(hop·(lag+1)): {chunk_size}")
-        self.leaf = leaf
-        self.variables = variables
+        self.hop = hop
+        self.n_filters = n_filters
         self.chunk_size = chunk_size
         self.geometry = geo
         self._batch = batch_size
@@ -300,7 +309,7 @@ class LeafStreamer:
     def _init_state(self, batch: int):
         self._batch = batch
         self._tail = jnp.zeros((batch, self.geometry["tail"]), jnp.float32)
-        self._pcen_s = jnp.zeros((batch, self.leaf.n_filters), jnp.float32)
+        self._pcen_s = jnp.zeros((batch, self.n_filters), jnp.float32)
 
     def _step(self, x_work: jnp.ndarray, role: str):
         frames, self._pcen_s = self._cell(role)(
@@ -328,7 +337,7 @@ class LeafStreamer:
         empty) and drain the lag; returns (B, p/hop + lag, n_filters)."""
         if self._flushed:
             raise RuntimeError("stream already flushed")
-        hop = self.leaf.stride
+        hop = self.hop
         if remainder is not None:
             remainder = jnp.asarray(remainder, jnp.float32)
             if remainder.ndim != 2 or remainder.shape[1] % hop != 0 \

@@ -31,7 +31,10 @@ from typing import Optional, Sequence, Tuple
 
 import numpy as np
 
-__all__ = ["save_exported", "ServingModel", "DEFAULT_BATCH_SIZES"]
+from leaf_tpu.frontend.streaming import LeafStreamer as _LeafStreamer
+
+__all__ = ["save_exported", "ServingModel", "DEFAULT_BATCH_SIZES",
+           "save_exported_streaming", "StreamingServingModel"]
 
 # No b=1 bucket by default: measured on the v5e (scripts/serving_latency.py)
 # a single clip costs MORE device time than a padded batch of 8 (1.28 vs
@@ -155,3 +158,106 @@ class ServingModel:
             outs.append(np.asarray(logits)[:take])
             start += take
         return np.concatenate(outs, axis=0)
+
+
+_STREAM_MANIFEST = "serving_stream.json"
+# A live replica always processes ≥ 1 full chunk before flushing, and a
+# serving artifact compiles fixed shapes — so only these variants export:
+_STREAM_ROLES = ("first", "steady", "flush_0")
+
+
+def save_exported_streaming(out_dir: str, leaf, variables,
+                            chunk_size: int, n_streams: int,
+                            platforms: Optional[Sequence[str]] = None) -> dict:
+    """Export the streaming-frontend cell as weight-embedded AOT artifacts.
+
+    Three variants of :class:`~leaf_tpu.frontend.streaming.StreamingLeafCell`
+    are exported for a fixed (chunk_size, n_streams): the stream-start
+    call, the steady-state call, and the no-remainder flush. Load with
+    :class:`StreamingServingModel` — same exactness guarantee as
+    LeafStreamer (tests/test_streaming.py), no Flax/model code needed in
+    the serving process. The reference has neither streaming nor serving
+    exports (deployment = torch checkpoint load, reference README.md:94-114).
+
+    Args:
+      leaf: the (trained) Leaf module instance — hyperparameters only.
+      variables: its trained variables (embedded into the artifacts).
+      chunk_size: samples per process() call (multiple of the hop,
+        ≥ the geometry's min_chunk; LEAF: 640).
+      n_streams: concurrent streams per replica (the fixed batch).
+    """
+    import jax
+    from jax import export as jexport
+    import jax.numpy as jnp
+
+    from leaf_tpu.frontend.streaming import LeafStreamer
+
+    st = LeafStreamer(leaf, variables, chunk_size, batch_size=n_streams)
+    geo = st.geometry
+    os.makedirs(out_dir, exist_ok=True)
+    shapes = {
+        "first": (n_streams, geo["tail"] + chunk_size),
+        "steady": (n_streams, geo["tail"] + chunk_size),
+        "flush_0": (n_streams, geo["tail"] + geo["flush_pad"]),
+    }
+    files = {}
+    for role in _STREAM_ROLES:
+        cell_fn = st._cell(role)  # jitted (variables, x_work, s) → (frames, s)
+        wrapped = jax.jit(
+            lambda xw, s, _fn=cell_fn: _fn(variables, xw, s))
+        exp = jexport.export(wrapped, platforms=list(platforms)
+                             if platforms else None)(
+            jax.ShapeDtypeStruct(shapes[role], jnp.float32),
+            jax.ShapeDtypeStruct((n_streams, st.n_filters), jnp.float32))
+        name = f"stream_{role}.jaxexport"
+        with open(os.path.join(out_dir, name), "wb") as f:
+            f.write(exp.serialize())
+        files[role] = name
+    manifest = {
+        "chunk_size": chunk_size,
+        "n_streams": n_streams,
+        "hop": st.hop,
+        "n_filters": st.n_filters,
+        "geometry": geo,
+        "files": files,
+    }
+    with open(os.path.join(out_dir, _STREAM_MANIFEST), "w") as f:
+        json.dump(manifest, f, indent=2)
+    return manifest
+
+
+class StreamingServingModel(_LeafStreamer):
+    """Loaded streaming artifact: LeafStreamer bookkeeping over AOT
+    exports — process()/flush()/reset() semantics identical, but the
+    compiled cells come from ``jax.export`` artifacts (weights embedded),
+    and flush() supports no remainder (feed full chunks; pad the source
+    to a chunk multiple upstream if needed)."""
+
+    def __init__(self, manifest: dict, exported: dict):
+        self.manifest = manifest
+        self._exported = exported  # role → jax.export.Exported
+        self.leaf = None
+        self.variables = None
+        self._setup(int(manifest["hop"]), int(manifest["n_filters"]),
+                    dict(manifest["geometry"]), int(manifest["chunk_size"]),
+                    int(manifest["n_streams"]))
+
+    @classmethod
+    def load(cls, path: str) -> "StreamingServingModel":
+        from jax import export as jexport
+        with open(os.path.join(path, _STREAM_MANIFEST)) as f:
+            manifest = json.load(f)
+        exported = {}
+        for role, name in manifest["files"].items():
+            with open(os.path.join(path, name), "rb") as f:
+                exported[role] = jexport.deserialize(f.read())
+        return cls(manifest, exported)
+
+    def _cell(self, role: str):
+        if role not in self._exported:
+            raise ValueError(
+                f"streaming artifact has no '{role}' variant — feed full "
+                f"chunks of {self.chunk_size} and flush() with no "
+                f"remainder (available: {sorted(self._exported)})")
+        exp = self._exported[role]
+        return lambda _v, xw, s: exp.call(xw, s)

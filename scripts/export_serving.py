@@ -30,6 +30,13 @@ def main():
     p.add_argument("--platforms", type=str, default=None,
                    help="comma list, e.g. 'cpu,tpu' for a portable artifact"
                         " (default: current backend)")
+    p.add_argument("--streaming_chunk", type=int, default=0,
+                   help="also export streaming-frontend artifacts for this "
+                        "chunk size (samples; multiple of the hop, LEAF "
+                        "min 640); 0 = off")
+    p.add_argument("--streaming_streams", type=int, default=8,
+                   help="concurrent streams per replica for the streaming "
+                        "artifact (its fixed batch)")
     p.add_argument("--platform", type=str, default=None,
                    help="force the jax platform before first use")
     args = p.parse_args()
@@ -69,6 +76,20 @@ def main():
         batch_sizes=[int(b) for b in args.batch_sizes.split(",")],
         platforms=args.platforms.split(",") if args.platforms else None)
     print(f"exported {manifest['files']} to {out}")
+
+    if args.streaming_chunk:
+        from leaf_tpu.frontend import get_frontend
+        from leaf_tpu.serving import save_exported_streaming
+
+        leaf = get_frontend(cfg)
+        smanifest = save_exported_streaming(
+            out, leaf, {"params": state.params["features"]},
+            chunk_size=args.streaming_chunk,
+            n_streams=args.streaming_streams,
+            platforms=args.platforms.split(",") if args.platforms else None)
+        print(f"exported streaming {smanifest['files']} to {out} "
+              f"(chunk {args.streaming_chunk}, "
+              f"{args.streaming_streams} streams)")
 
 
 if __name__ == "__main__":
