@@ -14,14 +14,16 @@ How (forward), per grid step (batch-tile i, position-block m):
   2. Block-Toeplitz conv, real and imaginary banks separately:
      OUT_re[b, r·P + p] = Σ_u X[b,u] · T_re[u, r·P + p]
      with T_re[u, r·P + p] = G_re[u−r, p] (zero outside [0, 401)), built in
-     XLA from the (401, P) bank — per chunk δ one full K=128 MXU dot
-     (Bt, 128) @ (T rows δ·128..δ·128+127, 128·P) with f32 accumulation;
-     identical pass count to the former single K=528 dot (⌈528/128⌉ = 5).
-     T is padded to _SLAB_PAD=640 zero rows so chunk 5's overhang lanes
-     contribute nothing. 528/401 → 1.32× FLOP overhead for perfectly
-     MXU-shaped work; T stays VMEM-resident across the whole grid (its
-     index_map is pinned to block 0). Keeping the (position r, pair p)
-     layout FLAT avoids Mosaic-unsupported lane-splitting reshapes.
+     XLA from the (401, P) bank — chunks 0-3 are full K=128 MXU dots
+     (Bt, 128) @ (T rows δ·128.., 128·P) with f32 accumulation; chunk 4
+     reaches only the bands of positions r ≥ _TAIL_POS=112, so its dot is
+     narrowed to those N = 16·P lanes (4P + P/8 passes vs the naive 5P,
+     −17.5%; same trim in the backward's recompute and dT accumulation).
+     T is padded to _SLAB_PAD=640 zero rows so the tail dot's overhang
+     rows contribute nothing. T stays VMEM-resident across the whole grid
+     (its index_map is pinned to block 0). Keeping the (position r,
+     pair p) layout FLAT avoids Mosaic-unsupported lane-splitting
+     reshapes.
   3. Squared modulus in-register: S = OUT_re² + OUT_im² (f32, flat).
   4. For the ≤4 lowpass frames whose 401-tap window intersects this block,
      the windowed reduction over r is ONE matmul with a masked selector
@@ -101,8 +103,9 @@ def _toeplitz_full(bank: jnp.ndarray, dtype) -> jnp.ndarray:
     + reshape yields the (SLAB_PAD, 128·P) matmul operand with the flat
     (position r, pair p) minor layout the kernels use. Rows ≥ _SLAB
     (the true band height, 528) are zero: the kernels read the waveform
-    as _X_CHUNKS shifted 128-tiles and run one full K=128 dot per chunk;
-    the 5th chunk's overhang lanes hit only these zero rows.
+    as _X_CHUNKS shifted 128-tiles; the 5th chunk's narrowed tail dot
+    (see _TAIL_POS) reads rows 512-639, whose overhang rows ≥ 528 are
+    these zeros.
 
     Built as 128 static zero-pads stacked along r — XLA lowers that to
     plain strided copies, ~4× cheaper than the equivalent (528·128)-index
@@ -168,16 +171,30 @@ def _x_specs(bt: int):
             for d in range(_X_CHUNKS)]
 
 
-def _banded_dot(x_chunks, t_ref):
+# Positions r ≥ _TAIL_POS are the ONLY ones whose 401-tap band reaches the
+# 5th waveform chunk: T[u, r·P+p] = G[u−r] is nonzero for u ≥ 4·128 = 512
+# iff r ≥ 512 − 400 = 112. So the 5th chunk's dot needs just the last
+# 16 positions' lanes — N = 16·P instead of 128·P — cutting the banded
+# contraction from 5P to 4P + P/8 MXU passes (−17.5%). 112·P is a lane
+# offset multiple of 128 for every legal P (112 = 7·16, P ≡ 0 mod 8).
+_TAIL_POS = 112
+
+
+def _banded_dot(x_chunks, t_ref, n_pairs):
     """Σ_δ x_δ @ T[δ·128:(δ+1)·128] — the (Bt, SLAB) @ (SLAB, 128·P) slab
-    contraction as _X_CHUNKS full K=128 tile dots (identical MXU pass
-    count: K=528 already cost ⌈528/128⌉=5 K tiles)."""
+    contraction as 4 full K=128 tile dots over all lanes plus one narrow
+    N = 16·P tail dot for the 5th chunk (see _TAIL_POS)."""
     acc = None
-    for d, xc in enumerate(x_chunks):
+    for d, xc in enumerate(x_chunks[:-1]):
         part = jnp.dot(xc, t_ref[d * _POS_BLOCK:(d + 1) * _POS_BLOCK, :],
                        preferred_element_type=jnp.float32)
         acc = part if acc is None else acc + part
-    return acc
+    tl = _TAIL_POS * n_pairs
+    tail = jnp.dot(
+        x_chunks[-1],
+        t_ref[(_X_CHUNKS - 1) * _POS_BLOCK:, tl:],
+        preferred_element_type=jnp.float32)
+    return jnp.concatenate([acc[:, :tl], acc[:, tl:] + tail], axis=1)
 
 
 def _frame_min(m, stride: int, pad_l: int):
@@ -212,8 +229,8 @@ def _fwd_kernel(*refs, n_pairs: int, t_len: int, stride: int, pad_l: int,
     (x0, x1, x2, x3, x4, tre_ref, tim_ref, wf_ref, out_ref) = refs
     m = pl.program_id(1)
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
-    out_re = _banded_dot(xc, tre_ref)
-    out_im = _banded_dot(xc, tim_ref)
+    out_re = _banded_dot(xc, tre_ref, n_pairs)
+    out_im = _banded_dot(xc, tim_ref, n_pairs)
     s = out_re * out_re + out_im * out_im         # (Bt, 128·P) flat
     s = s * _pos_mask_flat(m, t_len, n_pairs)
 
@@ -310,8 +327,8 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int,
         dwf_ref[:] = jnp.zeros_like(dwf_ref)
 
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
-    out_re = _banded_dot(xc, tre_ref)
-    out_im = _banded_dot(xc, tim_ref)
+    out_re = _banded_dot(xc, tre_ref, n_pairs)
+    out_im = _banded_dot(xc, tim_ref, n_pairs)
     s = out_re * out_re + out_im * out_im
     mask = _pos_mask_flat(m, t_len, n_pairs)
     s = s * mask
@@ -362,12 +379,23 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int,
     # 5th chunk's overhang garbage, which the diagonal fold never reads.
     d_re = d_re.astype(x0.dtype)
     d_im = d_im.astype(x0.dtype)
-    for d, x_d in enumerate(xc):
+    for d, x_d in enumerate(xc[:-1]):
         sl = pl.ds(d * _POS_BLOCK, _POS_BLOCK)
         dtre_ref[sl, :] += jnp.dot(x_d.T, d_re,
                                    preferred_element_type=jnp.float32)
         dtim_ref[sl, :] += jnp.dot(x_d.T, d_im,
                                    preferred_element_type=jnp.float32)
+    # 5th chunk: the diagonal fold reads dT rows ≥ 512 only at columns
+    # r ≥ _TAIL_POS (d_t[r:r+401, r]), so accumulate just those lanes —
+    # N = 16·P instead of 128·P, mirroring _banded_dot's tail (−17.5%
+    # of the dT passes). The untouched lanes stay zero (never folded).
+    sl = pl.ds((_X_CHUNKS - 1) * _POS_BLOCK, _POS_BLOCK)
+    tl = _TAIL_POS * np_
+    tlen = (_POS_BLOCK - _TAIL_POS) * np_
+    dtre_ref[sl, pl.ds(tl, tlen)] += jnp.dot(
+        xc[-1].T, d_re[:, tl:], preferred_element_type=jnp.float32)
+    dtim_ref[sl, pl.ds(tl, tlen)] += jnp.dot(
+        xc[-1].T, d_im[:, tl:], preferred_element_type=jnp.float32)
 
 
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
