@@ -224,40 +224,68 @@ def _pos_mask_flat(m, t_len: int, n_pairs: int) -> jnp.ndarray:
     return (pos < t_len).astype(jnp.float32)
 
 
-def _fwd_kernel(*refs, n_pairs: int, t_len: int, stride: int, pad_l: int,
-                n_frames: int):
-    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wf_ref, out_ref) = refs
+# The slot window offsets off_j(m) = 128m − stride·(fr_min(m)+j) + pad_l
+# are PERIODIC in m with period lcm(128, 160)/128 = 5 (128·5 = 160·4), so
+# every block's 4 window-weighted slot selectors are one of 6 static
+# patterns: residues m ≡ 1..4, m ≡ 0 (m ≥ 5), and m = 0 (whose fr_min
+# clamps at 0). Representative m per pattern index 0..5:
+_SEL_REPS = (5, 1, 2, 3, 4, 0)
+
+
+def _sel_index(m):
+    """Pattern index for block m: m=0 → 5, else m % 5."""
+    return jnp.where(m == 0, 5, jax.lax.rem(m, 5))
+
+
+def _build_selectors(windows_g: jnp.ndarray, stride: int,
+                     pad_l: int) -> jnp.ndarray:
+    """(P, K) windows → (6, 128·P, 4·P) fused slot selectors:
+
+    sel[q, r·P + p, j·P + p'] = δ_{p,p'} · W[p, off_j(rep_q) + r]
+    (zero where the tap off_j + r falls outside [0, K)).
+
+    This folds the per-slot window row AND the pair one-hot into ONE
+    matmul operand, so the forward's windowed reduction is a single
+    (Bt, 128P) @ (128P, 4P) dot instead of 4 per-slot (…, P) dots —
+    4P → P MXU pass tiles. Built in XLA from static slices (offsets are
+    compile-time), where the lane→sublane transpose of the window row is
+    cheap — in-kernel it forced a relayout that dominated the forward."""
+    p, k = windows_g.shape
+    w = windows_g.astype(jnp.float32)
+    eye = jnp.eye(p, dtype=jnp.float32)
+    sels = []
+    for m_rep in _SEL_REPS:
+        fr0 = max((m_rep * _POS_BLOCK + pad_l - k) // stride + 1, 0)
+        blocks = []
+        for j in range(_FRAMES_PER_BLOCK):
+            off = m_rep * _POS_BLOCK - (fr0 + j) * stride + pad_l
+            lo, hi = max(0, -off), min(_POS_BLOCK, k - off)
+            w_blk = jnp.zeros((_POS_BLOCK, p), jnp.float32)
+            if hi > lo:
+                w_blk = jax.lax.dynamic_update_slice(
+                    w_blk, w[:, off + lo:off + hi].T, (lo, 0))
+            # (128, P) window values ⊗ pair one-hot → (128·P, P)
+            blocks.append((w_blk[:, :, None] * eye[None]).reshape(
+                _POS_BLOCK * p, p))
+        sels.append(jnp.concatenate(blocks, axis=1))
+    return jnp.stack(sels)
+
+
+def _fwd_kernel(*refs, n_pairs: int, t_len: int):
+    (x0, x1, x2, x3, x4, tre_ref, tim_ref, sel_ref, out_ref) = refs
     m = pl.program_id(1)
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
     out_re = _banded_dot(xc, tre_ref, n_pairs)
     out_im = _banded_dot(xc, tim_ref, n_pairs)
     s = out_re * out_re + out_im * out_im         # (Bt, 128·P) flat
     s = s * _pos_mask_flat(m, t_len, n_pairs)
-
-    onehot = _pair_onehot(n_pairs)                # (128·P, P)
-    fr_min = _frame_min(m, stride, pad_l)
-    np_ = n_pairs
-    # Windowed reduction as (S ⊙ wf_row) @ onehot: wf stays a (1, 128·P)
-    # ROW vector broadcast over the batch rows — the earlier
-    # onehot ⊙ wf.reshape(128·P, 1) selector forced a lane→sublane
-    # relayout (a 2048-element transpose) per frame, which dominated the
-    # forward (the kernel is relayout/VPU-bound, not MXU-bound: bf16 and
-    # f32 matmul inputs time identically). Invalid frames are masked by
-    # zeroing their window slice (a select, so OOB-garbage reads — even
-    # NaN bit patterns — cannot leak through).
-    contribs = []
-    for j in range(_FRAMES_PER_BLOCK):
-        fr = fr_min + j
-        off = m * _POS_BLOCK - (fr * stride - pad_l)  # tap at r=0
-        # provably 128-aligned for P=16 (every off term divisible by 8);
-        # Mosaic's analysis can't see through //+maximum, so hint it.
-        start = pl.multiple_of((off + _WMARGIN) * np_, 128)
-        wf = wf_ref[:, pl.ds(start, _POS_BLOCK * np_)]
-        valid = jnp.logical_and(fr >= 0, fr < n_frames)
-        wf = jnp.where(valid, wf, 0.0)
-        contribs.append(jnp.dot(s * wf, onehot,
-                                preferred_element_type=jnp.float32))
-    out_ref[0] = jnp.concatenate(contribs, axis=1)  # (Bt, 4·P)
+    # Windowed reduction over r for ALL 4 frame slots as ONE matmul with
+    # the block's precomputed fused selector (window ⊙ pair-one-hot, see
+    # _build_selectors): 4P → P MXU pass tiles vs the former per-slot
+    # dots, and no dynamic window slicing — out-of-range taps are zeros
+    # by construction, and frames past n_frames land in _combine_partials'
+    # segment_sum overflow bin.
+    out_ref[0] = jnp.dot(s, sel_ref[0], preferred_element_type=jnp.float32)
 
 
 def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
@@ -267,11 +295,9 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
     bt = b if b <= 128 else 128
     assert b % bt == 0, f"batch {b} not a multiple of tile {bt}"
 
-    wf = _flat_windows(windows_g)
+    sel = _build_selectors(windows_g, stride, pad_l)  # (6, 128·P, 4·P)
 
-    kern = functools.partial(
-        _fwd_kernel, n_pairs=n_pairs, t_len=t_len, stride=stride,
-        pad_l=pad_l, n_frames=n_frames)
+    kern = functools.partial(_fwd_kernel, n_pairs=n_pairs, t_len=t_len)
     return pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
@@ -280,7 +306,9 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
                          lambda i, m: (0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((_SLAB_PAD, _POS_BLOCK * n_pairs),
                          lambda i, m: (0, 0), memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
+            pl.BlockSpec((1, _POS_BLOCK * n_pairs,
+                          _FRAMES_PER_BLOCK * n_pairs),
+                         lambda i, m: (_sel_index(m), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         # M leads (like the input slabs) so the block's last two dims are
@@ -293,7 +321,7 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
         out_shape=jax.ShapeDtypeStruct(
             (m_blocks, b, _FRAMES_PER_BLOCK * n_pairs), jnp.float32),
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, wf).swapaxes(0, 1).reshape(
+    )(xp, xp, xp, xp, xp, t_re, t_im, sel).swapaxes(0, 1).reshape(
         b, m_blocks, _FRAMES_PER_BLOCK, n_pairs)
 
 
