@@ -32,20 +32,22 @@ How (forward), per grid step (batch-tile i, position-block m):
      per-frame N=P dots) — combined with one segment_sum in XLA.
 
 Backward (custom VJP) saves nothing but the inputs: per tile it recomputes
-OUT/S, folds the output cotangent through the transposed lowpass (d_S),
-forms d_OUT = 2·OUT·d_S, and accumulates into VMEM-resident buffers
+OUT/S, folds the output cotangent through the transposed lowpass (d_S,
+via static per-pattern window slabs — see _build_bwd_windows), forms
+d_OUT = 2·OUT·d_S, and accumulates into VMEM-resident buffers
   dT_re/im += Xᵀ @ d_OUT_re/im   (MXU)
-  dW_flat  += Σ_b S·d_out        (VPU, pl.ds accumulation)
+  dW_q[pattern, slot] += Σ_b S·d_out   (VPU, static q-space slab)
 after which XLA folds the Toeplitz-structured dT back to dG by diagonal
-sums. The waveform gradient is NOT produced (the frontend input is the raw
+sums and the q-space dW slab back to taps by 24 static shifted adds. The waveform gradient is NOT produced (the frontend input is the raw
 waveform; with a preceding preemphasis layer use the XLA path instead).
 
 Channel grouping bounds VMEM: the forward runs up to 24 pairs per kernel
 (LEAF's F=40 → two launches [24, 16], zero padding waste; see
 ``_FWD_MAX_PAIRS`` for the VMEM accounting), the backward in groups of 8
-(its f32 dT accumulators are 528·128·P) — both
-at full 128-row MXU batch tiles thanks to the mod-16 offset alignment
-described at ``_WMARGIN``. The block-Toeplitz bank is gathered ONCE as
+(its f32 dT accumulators are 528·128·P) — both at full 128-row MXU batch
+tiles. All window access rides the period-5 offset patterns (_SEL_REPS):
+static per-pattern operands, no dynamic lane slicing anywhere in either
+kernel. The block-Toeplitz bank is gathered ONCE as
 (SLAB_PAD, 128, 2F) and sliced per group; the backward reuses it (and the
 padded waveform) via the VJP residuals instead of rebuilding.
 
@@ -77,16 +79,11 @@ _SLAB_PAD = _X_CHUNKS * _POS_BLOCK  # 640: T rows padded so every chunk
 #                              zero in T, so the 5th chunk's overhang
 #                              lanes contribute nothing)
 _FRAMES_PER_BLOCK = 4        # ceil((128 + 401) / 160) + boundary slack
-# Window tap-axis padding margin: slot offsets range over
-# off = 128m − stride·fr + pad_l for the 4 candidate frames of a block —
-# within [−280, 360] for LEAF geometry (asserted in tests). Margin choice:
-# off ≡ 8 (mod 16) ALWAYS (128m ≡ 0, 160fr ≡ 0, 200 ≡ 8 mod 16), so a
-# margin ≡ 8 (mod 16) makes (off + margin) a multiple of 16 — then the
-# flat lane offset (off+margin)·P is 128-aligned for BOTH P=16 (forward
-# groups) and P=8 (backward groups, which need small P to fit their f32
-# dT accumulators in VMEM at full 128-row MXU batch tiles).
-_WMARGIN = 392
-_WPAD = _WMARGIN + _SLAB + _WMARGIN  # padded window length (taps axis)
+# Slot window offsets off = 128m − stride·fr + pad_l lie within
+# [−280, 360] for LEAF geometry (asserted in tests) and are PERIODIC in m
+# (see _SEL_REPS), so both kernels read windows through six static
+# per-pattern operands (BlockSpec-indexed) — NO dynamic window slicing
+# remains; the former _WMARGIN mod-16 lane-alignment machinery is gone.
 
 
 def lowpass_frames_out(t: int, stride: int, k: int,
@@ -146,16 +143,6 @@ def _fold_toeplitz_grad(d_t: jnp.ndarray, k: int) -> jnp.ndarray:
     return terms[0]
 
 
-def _flat_windows(windows: jnp.ndarray) -> jnp.ndarray:
-    """(P, K) lowpass windows → (1, WPAD·P) flat-padded:
-    wf[0, (k+_WMARGIN)·P + p] = W[p, k]."""
-    p, k = windows.shape
-    wf = jnp.zeros((_WPAD, p), jnp.float32)
-    wf = jax.lax.dynamic_update_slice(
-        wf, windows.T.astype(jnp.float32), (_WMARGIN, 0))
-    return wf.reshape(1, _WPAD * p)
-
-
 def _x_specs(bt: int):
     """_X_CHUNKS BlockSpecs reading the PADDED waveform (B, Tp) directly:
     chunk δ of grid step (i, m) is xp[i·bt:(i+1)·bt, (m+δ)·128:(m+δ+1)·128].
@@ -197,23 +184,9 @@ def _banded_dot(x_chunks, t_ref, n_pairs):
     return jnp.concatenate([acc[:, :tl], acc[:, tl:] + tail], axis=1)
 
 
-def _frame_min(m, stride: int, pad_l: int):
-    base = m * _POS_BLOCK
-    return jnp.maximum((base + pad_l - _KMAX) // stride + 1, 0)
-
-
 def _frame_min_np(m_blocks: int, stride: int, pad_l: int) -> np.ndarray:
     base = np.arange(m_blocks) * _POS_BLOCK
     return np.maximum((base + pad_l - _KMAX) // stride + 1, 0)
-
-
-def _pair_onehot(n_pairs: int) -> jnp.ndarray:
-    """(128·P, P) selector: onehot[r·P + p, p'] = δ_{p,p'} (static)."""
-    rows = jax.lax.broadcasted_iota(
-        jnp.int32, (_POS_BLOCK * n_pairs, n_pairs), 0)
-    cols = jax.lax.broadcasted_iota(
-        jnp.int32, (_POS_BLOCK * n_pairs, n_pairs), 1)
-    return (rows % n_pairs == cols).astype(jnp.float32)
 
 
 def _pos_mask_flat(m, t_len: int, n_pairs: int) -> jnp.ndarray:
@@ -237,6 +210,17 @@ def _sel_index(m):
     return jnp.where(m == 0, 5, jax.lax.rem(m, 5))
 
 
+def _slot_taps(m_rep: int, stride: int, pad_l: int, k: int):
+    """Static (j, off, lo, hi) per frame slot of pattern-rep block m_rep:
+    slot j's window taps off+r cover block positions r ∈ [lo, hi)."""
+    fr0 = max((m_rep * _POS_BLOCK + pad_l - k) // stride + 1, 0)
+    out = []
+    for j in range(_FRAMES_PER_BLOCK):
+        off = m_rep * _POS_BLOCK - (fr0 + j) * stride + pad_l
+        out.append((j, off, max(0, -off), min(_POS_BLOCK, k - off)))
+    return out
+
+
 def _build_selectors(windows_g: jnp.ndarray, stride: int,
                      pad_l: int) -> jnp.ndarray:
     """(P, K) windows → (6, 128·P, 4·P) fused slot selectors:
@@ -255,11 +239,8 @@ def _build_selectors(windows_g: jnp.ndarray, stride: int,
     eye = jnp.eye(p, dtype=jnp.float32)
     sels = []
     for m_rep in _SEL_REPS:
-        fr0 = max((m_rep * _POS_BLOCK + pad_l - k) // stride + 1, 0)
         blocks = []
-        for j in range(_FRAMES_PER_BLOCK):
-            off = m_rep * _POS_BLOCK - (fr0 + j) * stride + pad_l
-            lo, hi = max(0, -off), min(_POS_BLOCK, k - off)
+        for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k):
             w_blk = jnp.zeros((_POS_BLOCK, p), jnp.float32)
             if hi > lo:
                 w_blk = jax.lax.dynamic_update_slice(
@@ -271,14 +252,57 @@ def _build_selectors(windows_g: jnp.ndarray, stride: int,
     return jnp.stack(sels)
 
 
-def _fwd_kernel(*refs, n_pairs: int, t_len: int):
+def _build_bwd_windows(windows_g: jnp.ndarray, stride: int,
+                       pad_l: int) -> jnp.ndarray:
+    """(P, K) windows → (6, 1, 4·128·P) per-pattern flat window slabs:
+
+    wq[q, j·128·P + r·P + p] = W[p, off_j(rep_q) + r] (zero outside
+    [0, K)). The backward kernel's per-slot window row is then a STATIC
+    lane slice of its pattern's slab (BlockSpec-indexed by _sel_index),
+    replacing the former dynamic `pl.ds` slicing into a margin-padded
+    flat window (whose mod-16 alignment games _WMARGIN used to carry)."""
+    p, k = windows_g.shape
+    w = windows_g.astype(jnp.float32)
+    rows = []
+    for m_rep in _SEL_REPS:
+        segs = []
+        for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k):
+            blk = jnp.zeros((_POS_BLOCK, p), jnp.float32)
+            if hi > lo:
+                blk = jax.lax.dynamic_update_slice(
+                    blk, w[:, off + lo:off + hi].T, (lo, 0))
+            segs.append(blk.reshape(1, _POS_BLOCK * p))
+        rows.append(jnp.concatenate(segs, axis=1))
+    return jnp.stack(rows)  # (6, 1, 4·128·P)
+
+
+def _fold_bwd_windows(dwf: jnp.ndarray, k: int, stride: int,
+                      pad_l: int) -> jnp.ndarray:
+    """(6, 1, 4·128·P) q-space dW accumulator → (P, K): 24 static
+    shifted-pad adds (one per (pattern, slot)); taps outside [0, K) were
+    accumulated into out-of-range slab lanes and are simply dropped."""
+    n_pairs = dwf.shape[-1] // (_FRAMES_PER_BLOCK * _POS_BLOCK)
+    dwq = dwf.reshape(6, _FRAMES_PER_BLOCK, _POS_BLOCK, n_pairs)
+    acc = None
+    for qi, m_rep in enumerate(_SEL_REPS):
+        for j, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k):
+            if hi <= lo:
+                continue
+            term = jnp.pad(dwq[qi, j, lo:hi],
+                           ((off + lo, k - (off + hi)), (0, 0)))
+            acc = term if acc is None else acc + term
+    return acc.T
+
+
+def _fwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
     (x0, x1, x2, x3, x4, tre_ref, tim_ref, sel_ref, out_ref) = refs
     m = pl.program_id(1)
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
     out_re = _banded_dot(xc, tre_ref, n_pairs)
     out_im = _banded_dot(xc, tim_ref, n_pairs)
     s = out_re * out_re + out_im * out_im         # (Bt, 128·P) flat
-    s = s * _pos_mask_flat(m, t_len, n_pairs)
+    if masked:  # tail positions ≥ t_len exist only when 128 ∤ t_len
+        s = s * _pos_mask_flat(m, t_len, n_pairs)
     # Windowed reduction over r for ALL 4 frame slots as ONE matmul with
     # the block's precomputed fused selector (window ⊙ pair-one-hot, see
     # _build_selectors): 4P → P MXU pass tiles vs the former per-slot
@@ -297,7 +321,8 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
 
     sel = _build_selectors(windows_g, stride, pad_l)  # (6, 128·P, 4·P)
 
-    kern = functools.partial(_fwd_kernel, n_pairs=n_pairs, t_len=t_len)
+    kern = functools.partial(_fwd_kernel, n_pairs=n_pairs, t_len=t_len,
+                             masked=t_len % _POS_BLOCK != 0)
     return pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
@@ -341,9 +366,8 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(*refs, n_pairs: int, ch0: int,
-                t_len: int, stride: int, pad_l: int, n_frames: int):
-    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wf_ref, dout_ref,
+def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
+    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wq_ref, dout_ref,
      dtre_ref, dtim_ref, dwf_ref) = refs
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -358,10 +382,9 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int,
     out_re = _banded_dot(xc, tre_ref, n_pairs)
     out_im = _banded_dot(xc, tim_ref, n_pairs)
     s = out_re * out_re + out_im * out_im
-    mask = _pos_mask_flat(m, t_len, n_pairs)
-    s = s * mask
+    if masked:  # tail positions ≥ t_len exist only when 128 ∤ t_len
+        s = s * _pos_mask_flat(m, t_len, n_pairs)
 
-    fr_min = _frame_min(m, stride, pad_l)
     np_ = n_pairs
     bt = x0.shape[0]
     # This group's channel selection is folded into the slot-broadcast
@@ -371,29 +394,32 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int,
     # 128-wide K tile). XLA-side per-group slicing of the slot-expanded
     # cotangent is what this replaces: a 5-way split fusion measured
     # 0.53 ms/step and a group-major transpose 0.52 ms/step — both on
-    # lane-hostile minor-dim-8 layouts.
+    # lane-hostile minor-dim-8 layouts. Out-of-range frame slots carry
+    # zero cotangents by construction (zero-frame-padded gather in
+    # _fused_bwd), so no validity masking is needed here.
     n_chan = dout_ref.shape[-1]
     crow = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 0)
     pcol = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 1)
     selhot = (crow == ch0 + pcol % np_).astype(jnp.float32)  # (F, 128·P)
     d_s = jnp.zeros((bt, _POS_BLOCK * np_), jnp.float32)
+    dw_segs = []
     for j in range(_FRAMES_PER_BLOCK):
-        fr = fr_min + j
-        off = m * _POS_BLOCK - (fr * stride - pad_l)
-        start = pl.multiple_of((off + _WMARGIN) * np_, 128)
-        wf = wf_ref[:, pl.ds(start, _POS_BLOCK * np_)]  # (1, 128·P)
-        valid = jnp.logical_and(fr >= 0, fr < n_frames)
-        dof = jnp.where(valid, dout_ref[:, 0, j, :], 0.0)  # (Bt, F)
+        # this pattern's slot-j window row: a STATIC lane slice of the
+        # (1, 4·128·P) slab the BlockSpec fetched for q = _sel_index(m)
+        wf = wq_ref[0, :, j * _POS_BLOCK * np_:(j + 1) * _POS_BLOCK * np_]
+        dof = dout_ref[:, 0, j, :]                 # (Bt, F)
         # broadcast frame cotangent to flat positions: dof_flat[b, r·P+p]
         dof_flat = jnp.dot(dof, selhot,
                            preferred_element_type=jnp.float32)
         d_s = d_s + dof_flat * wf
-        # dW_flat[(off+128+r)·P + p] += Σ_b S·dof
-        dw_contrib = jnp.sum(s * dof_flat, axis=0, keepdims=True)
-        cur = dwf_ref[:, pl.ds(start, _POS_BLOCK * np_)]
-        dwf_ref[:, pl.ds(start, _POS_BLOCK * np_)] = cur + dw_contrib
+        # dW in q-space: dwf[q, j·128·P + r·P + p] += Σ_b S·dof — folded
+        # back to tap space by 24 static adds in _fold_bwd_windows
+        dw_segs.append(jnp.sum(s * dof_flat, axis=0, keepdims=True))
+    q = _sel_index(m)
+    dwf_ref[q] = dwf_ref[q] + jnp.concatenate(dw_segs, axis=1)
 
-    d_s = d_s * mask
+    if masked:
+        d_s = d_s * _pos_mask_flat(m, t_len, n_pairs)
     d_re = 2.0 * out_re * d_s
     d_im = 2.0 * out_im * d_s
     # dT matmuls run at the COMPUTE dtype (the accumulators stay f32 via
@@ -430,7 +456,7 @@ _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
 def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
-                   t_len, stride, pad_l, n_frames, interpret):
+                   t_len, stride, pad_l, interpret):
     """One backward pair-group. ``d_all`` is the SHARED slot-expanded
     cotangent (B, M, 4, F_pad) in its natural layout — lane dim F, one
     gather to build, no per-group XLA work at all; every group's kernel
@@ -442,11 +468,12 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
     n_chan = d_all.shape[-1]
     bt = b if b <= 128 else 128
 
-    wf = _flat_windows(windows_g)
+    wq = _build_bwd_windows(windows_g, stride, pad_l)  # (6, 1, 4·128·P)
+    slab_w = _FRAMES_PER_BLOCK * _POS_BLOCK * n_pairs
 
     kern = functools.partial(
-        _bwd_kernel, n_pairs=n_pairs, ch0=ch0, t_len=t_len, stride=stride,
-        pad_l=pad_l, n_frames=n_frames)
+        _bwd_kernel, n_pairs=n_pairs, ch0=ch0, t_len=t_len,
+        masked=t_len % _POS_BLOCK != 0)
     big = (_SLAB_PAD, _POS_BLOCK * n_pairs)
     dtre, dtim, dwf = pl.pallas_call(
         kern,
@@ -456,7 +483,7 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(big, lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
+            pl.BlockSpec((1, 1, slab_w), lambda i, m: (_sel_index(m), 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((bt, 1, _FRAMES_PER_BLOCK, n_chan),
                          lambda i, m: (i, m, 0, 0),
@@ -467,22 +494,21 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(big, lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _WPAD * n_pairs), lambda i, m: (0, 0),
+            pl.BlockSpec((6, 1, slab_w), lambda i, m: (0, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[
             jax.ShapeDtypeStruct(big, jnp.float32),
             jax.ShapeDtypeStruct(big, jnp.float32),
-            jax.ShapeDtypeStruct((1, _WPAD * n_pairs), jnp.float32),
+            jax.ShapeDtypeStruct((6, 1, slab_w), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, wf, d_all)
+    )(xp, xp, xp, xp, xp, t_re, t_im, wq, d_all)
 
     # Toeplitz cotangents returned UNfolded (SLAB_PAD, 128, P) — the
     # caller concatenates all groups/banks and folds once (the fold reads
     # only rows < _SLAB; the padded rows hold chunk-overhang garbage).
-    # unflatten dW: dwf[0, (k+_WMARGIN)·P + p] → (P, K)
-    d_win = dwf.reshape(_WPAD, n_pairs)[_WMARGIN:_WMARGIN + k].T
+    d_win = _fold_bwd_windows(dwf, k, stride, pad_l)  # (P, K)
     return (dtre.reshape(_SLAB_PAD, _POS_BLOCK, n_pairs),
             dtim.reshape(_SLAB_PAD, _POS_BLOCK, n_pairs), d_win)
 
@@ -502,14 +528,12 @@ def _prep(x, pad):
     return xp, t, m_blocks
 
 
-# Pair-group sizes MUST make every dynamic lane offset a multiple of 128:
-# offsets are (off + _WMARGIN)·P with off + _WMARGIN ≡ 0 (mod 16) always
-# (see _WMARGIN), so any P that is a multiple of 8 gives 16·P ≡ 0 (mod 128)
-# STATICALLY (Mosaic must prove alignment at compile time; P=20 fails).
-# Forward group size: see _fwd_max_pairs (VMEM is T_re/T_im at
-# 2×_SLAB_PAD·128·P at the compute dtype plus the kernel's live f32
-# (Bt, 128·P) intermediates). The backward is capped at 8 by its f32 dT
-# accumulators.
+# Pair-group sizes are multiples of 8 so every static lane slice the
+# kernels take (slot slabs at j·128·P, the tail dots at _TAIL_POS·P=112·P)
+# lands on a 128-lane boundary. Forward group size: see _fwd_max_pairs
+# (VMEM is T_re/T_im at 2×_SLAB_PAD·128·P at the compute dtype plus the
+# kernel's live f32 (Bt, 128·P) intermediates). The backward is capped at
+# 8 by its f32 dT accumulators.
 
 
 def _pair_groups(f, max_pairs):
@@ -552,10 +576,10 @@ def fused_gabor_sqmod_lowpass(x, gabor, windows, stride: int = 160,
 
 
 def _check_geometry(gabor, stride, pad):
-    # The slot count (_FRAMES_PER_BLOCK), window margins (_WMARGIN) and the
-    # mod-16 lane-alignment proof are all derived for the LEAF default
-    # geometry; any other hop/padding must use the XLA path (Leaf gates on
-    # this automatically via _fused_applicable).
+    # The slot count (_FRAMES_PER_BLOCK) and the period-5 offset patterns
+    # (_SEL_REPS) are derived for the LEAF default geometry; any other
+    # hop/padding must use the XLA path (Leaf gates on this automatically
+    # via _fused_applicable).
     if gabor.shape[0] != _KMAX or stride != 160 or tuple(pad) != (200, 200):
         raise ValueError(
             "fused_gabor_sqmod_lowpass is specialized to K=401 taps, "
@@ -603,23 +627,23 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
 
     fr_ids = (_frame_min_np(m_blocks, stride, pad[0])[:, None]
               + np.arange(_FRAMES_PER_BLOCK)[None, :])
-    fr_safe = np.where(fr_ids < n_frames, fr_ids, 0)
+    # Out-of-range slots gather row n_frames of the zero-frame-padded
+    # cotangent — ZERO rows — so the kernels need no validity masking.
+    fr_safe = np.where(fr_ids < n_frames, fr_ids, n_frames)
     # Slot-expand the output cotangent ONCE for all channels, in its
-    # NATURAL layout: one 2-D-index gather (B, n_frames, F_pad) →
+    # NATURAL layout: one 2-D-index gather (B, n_frames+1, F_pad) →
     # (B, M, 4, F_pad), lane dim F. No per-group XLA work follows — each
     # backward kernel streams the full-channel block and selects its
     # channels in-kernel (see _bwd_kernel selhot). Alternatives measured
     # at LEAF shape (bs 256, bf16, v5e): per-group 5-way split fusion
     # 0.53 ms/step; group-major (G, B, M, 4, P) transpose 0.52 ms/step;
     # an XLA-side out-of-range where on either 0.09-0.99 ms — all on
-    # lane-hostile minor-dim-8 layouts. Invalid slots gather frame-0 data
-    # via fr_safe; the kernel zeroes them (`valid` where).
+    # lane-hostile minor-dim-8 layouts.
     p_grp = _BWD_PAIR_GROUP
     groups = _pair_groups(f, p_grp)
     f_pad = len(groups) * p_grp
     d0 = d_out.astype(jnp.float32)
-    if f_pad > f:
-        d0 = jnp.pad(d0, ((0, 0), (0, 0), (0, f_pad - f)))
+    d0 = jnp.pad(d0, ((0, 0), (0, 1), (0, f_pad - f)))
     d_all = d0[:, jnp.asarray(fr_safe)]  # (B, M, 4, F_pad)
 
     d_res, d_ims, d_wins = [], [], []
@@ -628,8 +652,7 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
         dr, di, dw = _run_bwd_group(xp, m_blocks, t_re, t_im, win_g, d_all,
-                                    g0, k, t, stride, pad[0], n_frames,
-                                    interpret)
+                                    g0, k, t, stride, pad[0], interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])
         d_wins.append(dw[:g1 - g0])

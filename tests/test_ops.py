@@ -101,6 +101,26 @@ class TestFusedBackward:
             rel = np.linalg.norm(a - b) / np.linalg.norm(a)
             assert rel < 1e-5, rel
 
+    def test_grads_match_xla_non_multiple_length(self, inputs):
+        # T=12345 exercises the masked tail-block path AND the
+        # zero-frame-padded cotangent gather (frames past n_frames).
+        x, gabor, windows = inputs
+        x = x[:, :12345]
+
+        def loss_fused(g, w):
+            o = fused_gabor_sqmod_lowpass(x, g, w, 160, (200, 200), True)
+            return jnp.sum(jnp.sin(o * 0.1))
+
+        def loss_xla(g, w):
+            return jnp.sum(jnp.sin(xla_composition(x, g, w) * 0.1))
+
+        g_ref = jax.grad(loss_xla, argnums=(0, 1))(gabor, windows)
+        g_got = jax.grad(loss_fused, argnums=(0, 1))(gabor, windows)
+        for a, b in zip(g_ref, g_got):
+            a, b = np.asarray(a), np.asarray(b)
+            rel = np.linalg.norm(a - b) / np.linalg.norm(a)
+            assert rel < 1e-5, rel
+
     def test_no_waveform_grad(self, inputs):
         x, gabor, windows = inputs
         dx = jax.grad(lambda xx: jnp.sum(
