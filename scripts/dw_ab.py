@@ -81,6 +81,30 @@ def dw_shift(x, w, stride):
     return acc.astype(x.dtype)
 
 
+def make_dw_hybrid(stride):
+    """Shift-multiply FORWARD (≈6× faster than the grouped conv at these
+    shapes) + the grouped conv's own linear-transpose BACKWARD (XLA's
+    transposed-conv dx/dw, which beats autodiff-of-shifts ~5×)."""
+    @jax.custom_vjp
+    def f(x, w):
+        return dw_shift(x, w, stride)
+
+    def fwd(x, w):
+        return f(x, w), (x, w)
+
+    def bwd(res, dy):
+        x, w = res
+        dy = dy.astype(x.dtype)
+        dx = jax.linear_transpose(
+            lambda xx: dw_conv(xx, w, stride), x)(dy)[0]
+        dw_ = jax.linear_transpose(
+            lambda ww: dw_conv(x, ww, stride), w)(dy)[0]
+        return dx, dw_
+
+    f.defvjp(fwd, bwd)
+    return f
+
+
 N_INNER = 50
 
 
@@ -127,10 +151,10 @@ def main():
         print(f"device_health_tflops: {tunnel_health_probe()}")
 
     rng = np.random.RandomState(0)
-    tot = {"conv": [0.0, 0.0], "shift": [0.0, 0.0]}
+    tot = {"conv": [0.0, 0.0], "shift": [0.0, 0.0], "hybrid": [0.0, 0.0]}
     print(f"{'shape':>26}  {'conv fwd':>9} {'shift fwd':>9} "
-          f"{'conv f+b':>9} {'shift f+b':>9}   (ms, bs {args.batch}, "
-          f"noop-subtracted)")
+          f"{'conv f+b':>9} {'shift f+b':>9} {'hyb f+b':>9}   (ms, bs "
+          f"{args.batch}, noop-subtracted)")
     for h, wd, c, k, s, reps in B0_DW_SHAPES:
         w = jnp.asarray(rng.randn(k, k, 1, c).astype(np.float32) * 0.1,
                         jnp.bfloat16)
@@ -145,12 +169,26 @@ def main():
 
         t_noop = timed_inner(
             lambda xi: jnp.sum(xi.astype(jnp.float32)), x0)
+        hyb = make_dw_hybrid(s)
+        # hybrid grads ≡ conv grads (same transposed ops; f32 small batch)
+        gc = jax.grad(lambda xx, ww: jnp.sum(dw_conv(xx, ww, s)
+                                             .astype(jnp.float32) ** 2),
+                      argnums=(0, 1))(xs, ws)
+        gh = jax.grad(lambda xx, ww: jnp.sum(hyb(xx, ww)
+                                             .astype(jnp.float32) ** 2),
+                      argnums=(0, 1))(xs, ws)
+        for a, b in zip(gc, gh):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       atol=1e-3, rtol=1e-2)
         row = []
-        for name, impl in (("conv", dw_conv), ("shift", dw_shift)):
+        impls = (("conv", lambda xx, ww: dw_conv(xx, ww, s)),
+                 ("shift", lambda xx, ww: dw_shift(xx, ww, s)),
+                 ("hybrid", hyb))
+        for name, impl in impls:
             def loss(xx, ww, impl=impl):
-                return jnp.sum(impl(xx, ww, s).astype(jnp.float32) ** 2)
+                return jnp.sum(impl(xx, ww).astype(jnp.float32) ** 2)
 
-            def fb(xi, impl=impl, loss=loss):
+            def fb(xi, loss=loss):
                 l, (gx, gw) = jax.value_and_grad(
                     loss, argnums=(0, 1))(xi, w)
                 return (l + jnp.sum(gx.astype(jnp.float32))
@@ -158,17 +196,18 @@ def main():
 
             t_f = max(0.0, timed_inner(
                 lambda xi, impl=impl: jnp.sum(
-                    impl(xi, w, s).astype(jnp.float32)), x0) - t_noop)
+                    impl(xi, w).astype(jnp.float32)), x0) - t_noop)
             t_fb = max(0.0, timed_inner(fb, x0) - t_noop)
             tot[name][0] += t_f * reps
             tot[name][1] += t_fb * reps
             row += [t_f, t_fb]
         print(f"({h:3d},{wd:3d},{c:4d}) k{k} s{s} x{reps}: "
-              f"{row[0]:9.3f} {row[2]:9.3f} {row[1]:9.3f} {row[3]:9.3f}"
-              f"   [noop {t_noop:.3f}]")
+              f"{row[0]:9.3f} {row[2]:9.3f} {row[1]:9.3f} {row[3]:9.3f} "
+              f"{row[5]:9.3f}   [noop {t_noop:.3f}]")
     print(f"{'TOTAL (×repeats)':>26}  conv fwd {tot['conv'][0]:.3f} "
-          f"shift fwd {tot['shift'][0]:.3f}  conv f+b {tot['conv'][1]:.3f} "
-          f"shift f+b {tot['shift'][1]:.3f}")
+          f"shift fwd {tot['shift'][0]:.3f} hybrid fwd {tot['hybrid'][0]:.3f}"
+          f"  conv f+b {tot['conv'][1]:.3f} "
+          f"shift f+b {tot['shift'][1]:.3f} hybrid f+b {tot['hybrid'][1]:.3f}")
 
 
 if __name__ == "__main__":
