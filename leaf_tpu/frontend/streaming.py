@@ -73,7 +73,19 @@ def streaming_geometry(kernel_size: int, stride: int) -> dict:
 
     R: waveform radius of one output frame; D: output latency in frames;
     P: carried-tail length in samples; flush_pad: zeros appended on flush.
+
+    The geometry assumes the symmetric (K//2, K//2) SAME padding of an
+    ODD kernel (every reference Leaf geometry: window_size =
+    sr·25//1000 + 1 is odd for all common rates); SAME-padding an even K
+    is asymmetric ((K−1)//2 left, K//2 right), which would silently
+    misalign streamed frames vs offline, so even K is refused.
     """
+    if kernel_size % 2 == 0:
+        raise ValueError(
+            f"streaming requires an odd conv kernel (symmetric SAME "
+            f"padding); got kernel_size={kernel_size}. Offline Leaf pads "
+            f"an even kernel asymmetrically, which this chunk geometry "
+            f"does not reproduce.")
     r = 2 * (kernel_size // 2)
     d = -(-(r + 1) // stride) - 1
     tail = stride * d + r

@@ -226,7 +226,7 @@ def import_torch_classifier(state_dict: Dict, variables: Dict,
         _set(out[tree], full, arr, key)
         filled.add((tree, full))
 
-    missing = [t + (":",) + p for t in ("params", "batch_stats")
+    missing = [(t,) + p for t in ("params", "batch_stats")
                for p in _leaves(out[t] or {})
                if (t, p) not in filled]
     # our frontend may hold leaves the reference Leaf lacks only when

@@ -80,7 +80,8 @@ _SLAB_PAD = _X_CHUNKS * _POS_BLOCK  # 640: T rows padded so every chunk
 #                              lanes contribute nothing)
 _FRAMES_PER_BLOCK = 4        # ceil((128 + 401) / 160) + boundary slack
 # Slot window offsets off = 128m − stride·fr + pad_l lie within
-# [−280, 360] for LEAF geometry (asserted in tests) and are PERIODIC in m
+# [−280, 392] for LEAF geometry (asserted in tests/test_ops.py
+# test_slot_offset_range) and are PERIODIC in m
 # (see _SEL_REPS), so both kernels read windows through six static
 # per-pattern operands (BlockSpec-indexed) — NO dynamic window slicing
 # remains; the former _WMARGIN mod-16 lane-alignment machinery is gone.
@@ -313,7 +314,7 @@ def _fwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
 
 
 def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
-                   pad_l, n_frames, interpret):
+                   pad_l, interpret):
     b = xp.shape[0]
     n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
@@ -607,7 +608,7 @@ def _fused_fwd(x, gabor, windows, stride, pad, interpret):
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
         part = _run_fwd_group(xp, m_blocks, t_re, t_im, win_g, t, stride,
-                              pad[0], n_frames, interpret)
+                              pad[0], interpret)
         outs.append(_combine_partials(part, m_blocks, stride, pad[0],
                                       n_frames)[..., :g1 - g0])
     out = jnp.concatenate(outs, axis=-1)

@@ -121,6 +121,14 @@ class TestFusedBackward:
             rel = np.linalg.norm(a - b) / np.linalg.norm(a)
             assert rel < 1e-5, rel
 
+    def test_slot_offset_range(self):
+        # the [−280, 392] bound documented at fused_frontend.py's
+        # _FRAMES_PER_BLOCK comment, over every pattern representative
+        from leaf_tpu.ops.fused_frontend import _SEL_REPS, _slot_taps
+        offs = [off for m_rep in _SEL_REPS
+                for _, off, _, _ in _slot_taps(m_rep, 160, 200, K)]
+        assert min(offs) == -280 and max(offs) == 392
+
     def test_no_waveform_grad(self, inputs):
         x, gabor, windows = inputs
         dx = jax.grad(lambda xx: jnp.sum(

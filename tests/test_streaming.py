@@ -54,6 +54,13 @@ def test_geometry_leaf_defaults():
                    "mask_conv_left": 520, "mask_conv_right": 41}
 
 
+def test_geometry_even_kernel_refused():
+    # e.g. sr=22050 → window_size 552: SAME padding goes asymmetric and
+    # the chunk geometry would silently misalign vs offline Leaf
+    with pytest.raises(ValueError, match="odd"):
+        streaming_geometry(552, 220)
+
+
 @pytest.mark.parametrize("chunk", [640, 1600, 4800])
 def test_streamed_equals_offline(default_leaf, chunk):
     leaf, variables = default_leaf

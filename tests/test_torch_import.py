@@ -237,3 +237,23 @@ class TestImportErrors:
     def test_densenet_refused(self):
         with pytest.raises(NotImplementedError, match="densenet"):
             import_torch_classifier({}, {"params": {}}, "densenet")
+
+    def test_partial_import_refused_with_diagnostic(self):
+        # a state_dict covering only SOME leaves must raise the
+        # ValueError naming the unfilled ones, not crash building it
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 3, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        head = np.asarray(
+            variables["params"]["model"]["linear"]["kernel"]).T
+        with pytest.raises(ValueError, match="unfilled"):
+            import_torch_classifier(
+                {"model.linear.weight": head}, variables, "cifar_resnet")
