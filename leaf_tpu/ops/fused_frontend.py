@@ -222,6 +222,16 @@ def _slot_taps(m_rep: int, stride: int, pad_l: int, k: int):
     return out
 
 
+def _window_block(w: jnp.ndarray, off: int, lo: int, hi: int) -> jnp.ndarray:
+    """(P, K) windows → (128, P) slot block: row r holds W[:, off + r]
+    (zero where the tap falls outside [0, K), i.e. r outside [lo, hi))."""
+    blk = jnp.zeros((_POS_BLOCK, w.shape[0]), jnp.float32)
+    if hi > lo:
+        blk = jax.lax.dynamic_update_slice(
+            blk, w[:, off + lo:off + hi].T, (lo, 0))
+    return blk
+
+
 def _build_selectors(windows_g: jnp.ndarray, stride: int,
                      pad_l: int) -> jnp.ndarray:
     """(P, K) windows → (6, 128·P, 4·P) fused slot selectors:
@@ -242,10 +252,7 @@ def _build_selectors(windows_g: jnp.ndarray, stride: int,
     for m_rep in _SEL_REPS:
         blocks = []
         for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k):
-            w_blk = jnp.zeros((_POS_BLOCK, p), jnp.float32)
-            if hi > lo:
-                w_blk = jax.lax.dynamic_update_slice(
-                    w_blk, w[:, off + lo:off + hi].T, (lo, 0))
+            w_blk = _window_block(w, off, lo, hi)
             # (128, P) window values ⊗ pair one-hot → (128·P, P)
             blocks.append((w_blk[:, :, None] * eye[None]).reshape(
                 _POS_BLOCK * p, p))
@@ -266,13 +273,8 @@ def _build_bwd_windows(windows_g: jnp.ndarray, stride: int,
     w = windows_g.astype(jnp.float32)
     rows = []
     for m_rep in _SEL_REPS:
-        segs = []
-        for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k):
-            blk = jnp.zeros((_POS_BLOCK, p), jnp.float32)
-            if hi > lo:
-                blk = jax.lax.dynamic_update_slice(
-                    blk, w[:, off + lo:off + hi].T, (lo, 0))
-            segs.append(blk.reshape(1, _POS_BLOCK * p))
+        segs = [_window_block(w, off, lo, hi).reshape(1, _POS_BLOCK * p)
+                for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k)]
         rows.append(jnp.concatenate(segs, axis=1))
     return jnp.stack(rows)  # (6, 1, 4·128·P)
 

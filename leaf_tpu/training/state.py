@@ -11,8 +11,10 @@ from __future__ import annotations
 from typing import Any, Callable
 
 import jax
+import jax.numpy as jnp
 import optax
 from flax import core, struct
+from jax import tree_util
 
 __all__ = ["TrainState", "rewind_steps"]
 
@@ -28,9 +30,6 @@ def rewind_steps(state: "TrainState", n: int) -> "TrainState":
     preemption, reaching the cosine tail early. Rewinding Adam's count
     replays its bias correction for the redone steps, which is exactly the
     do-over semantics resume implements."""
-    import jax.numpy as jnp
-    from jax import tree_util
-
     def fix(path, leaf):
         if path and isinstance(path[-1], tree_util.GetAttrKey) \
                 and path[-1].name == "count":
