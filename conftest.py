@@ -19,3 +19,47 @@ if "xla_force_host_platform_device_count" not in xla_flags:
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")
+
+# ---------------------------------------------------------------------------
+# Test tiers. `pytest -m "not slow"` is the fast tier (<10 min on this
+# 1-core box): frontend math/modules, ops-interpret, data, config,
+# checkpoint logic. Everything that compiles models in subprocesses, runs
+# CLI end-to-end drivers, or steps torch trajectories is `slow`. Marking is
+# centralized here (one list, applied at collection) instead of per-file
+# pytestmark lines so the tier boundary is auditable in one place.
+# ---------------------------------------------------------------------------
+
+_SLOW_FILES = {
+    "test_multihost_train.py",      # 2-proc jax.distributed subprocesses
+    "test_multistep_cli.py",        # train.py CLI end-to-end
+    "test_preemption.py",           # spawns train.py, SIGTERMs it
+    "test_evaluate.py",             # evaluate.py CLI end-to-end
+    "test_efficientnet_parity.py",  # effnet CPU compiles + torch Adam steps
+    "test_trajectory_parity.py",    # long optimizer trajectories vs torch
+    "test_serving.py",              # jax.export AOT artifacts
+    "test_torch_cross_validation.py",  # torch subprocess roundtrips
+    "test_torch_import.py",         # checkpoint-convert subprocesses
+    "test_resnet18_parity.py",      # 20-step trajectory vs torch
+    "test_densenet_parity.py",      # densenet compiles + torch
+}
+_SLOW_TESTS = {
+    # mixed files: individual subprocess / heavy-compile tests
+    "test_two_process_train_step",  # gloo pair in subprocesses
+    "test_dryrun_multichip_8",      # now compiles effnet-b0 on the mesh
+    "test_pack_then_read_roundtrip",       # pack_dataset.py subprocess
+    "test_packer_skips_unreadable",        # pack_dataset.py subprocess
+}
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: subprocess/CLI-e2e/compile-heavy tests "
+        "(deselect with -m 'not slow')")
+
+
+def pytest_collection_modifyitems(config, items):
+    import pytest
+    for item in items:
+        if (item.fspath.basename in _SLOW_FILES
+                or item.name.split("[")[0] in _SLOW_TESTS):
+            item.add_marker(pytest.mark.slow)

@@ -30,7 +30,7 @@ from typing import Dict, Tuple
 
 import numpy as np
 
-__all__ = ["import_torch_classifier"]
+__all__ = ["import_torch_classifier", "import_torch_backbone"]
 
 _IGNORE = re.compile(r"num_batches_tracked$")
 
@@ -173,6 +173,106 @@ def _leaves(tree, pre=()):
             yield from _leaves(v, pre + (k,))
         else:
             yield pre + (k,)
+
+
+_FINAL_LAYER = {  # torch head-module name per arch
+    "resnet": "fc",
+    "cifar_resnet": "linear",
+    "efficientnet": "_fc",
+}
+_STEM_CONV = {  # torch stem-conv key per arch (in-channel adaptation)
+    "resnet": "conv1.weight",
+    "cifar_resnet": "conv1.weight",
+    "efficientnet": "_conv_stem.weight",
+}
+
+
+def import_torch_backbone(state_dict: Dict, variables: Dict, arch: str,
+                          load_fc: bool = False) -> Dict:
+    """Map a BARE backbone ``state_dict`` (no ``model.`` prefix — e.g. the
+    published ImageNet EfficientNet weights, reference
+    models/efficientnet/utils.py:556-617, or any torch backbone checkpoint)
+    onto our ``Classifier`` variables, keeping frontend + head fresh.
+
+    Reference semantics matched:
+    - ``load_fc=False`` (default) pops the final layer's weights and keeps
+      our freshly initialized head — the pretrained-ckpt fc-swap of
+      models/model_helper.py:78-94 / ``load_pretrained_weights(load_fc=
+      False)`` (utils.py:605-613).
+    - A stem conv whose in-channel count differs from ours (ImageNet 3-ch
+      vs audio 1-ch) is skipped and our fresh stem kept — exactly
+      ``EfficientNet._change_in_channels`` (reference model.py:410-419),
+      which re-initializes the stem after loading pretrained weights.
+
+    Everything else must be covered; unknown keys and uncovered leaves
+    raise, as in ``import_torch_classifier``.
+    """
+    if arch not in _BACKBONE_ROUTERS:
+        raise NotImplementedError(
+            f"arch '{arch}' is not importable (reference densenet "
+            f"factories are dead code — models/densenet.py NameError)")
+    route_backbone = _BACKBONE_ROUTERS[arch]
+    final = _FINAL_LAYER[arch]
+    import jax
+
+    out = {
+        "params": jax.tree_util.tree_map(np.asarray, variables["params"]),
+        "batch_stats": jax.tree_util.tree_map(
+            np.asarray, variables.get("batch_stats", {})),
+    }
+
+    filled, skipped = set(), set()
+    for key, value in state_dict.items():
+        k = key
+        for prefix in ("module.", "model."):
+            if k.startswith(prefix):
+                k = k[len(prefix):]
+        if _IGNORE.search(k):
+            continue
+        if not load_fc and (k == f"{final}.weight" or k == f"{final}.bias"):
+            skipped.add(k)  # fresh head, reference fc-swap semantics
+            continue
+        spec = route_backbone(k)
+        if spec is None:
+            raise KeyError(f"unrecognized torch backbone key: '{key}'")
+        tree, path, transform = spec
+        arr = _np(value)
+        if transform is not None:
+            arr = transform(arr)
+        full = ("model",) + path
+        if k == _STEM_CONV[arch]:
+            node = out[tree]
+            for p in full:
+                node = node[p]
+            if tuple(node.shape) != tuple(arr.shape):
+                # in-channel mismatch (e.g. ImageNet 3-ch vs audio 1-ch):
+                # keep our fresh stem (_change_in_channels semantics)
+                skipped.add(k)
+                continue
+        _set(out[tree], full, arr, key)
+        filled.add((tree, full))
+
+    # every backbone leaf must be covered except the (intentionally fresh)
+    # head and a channel-mismatched stem; the frontend stays fresh too
+    fresh_ok = {("model", final if arch != "efficientnet" else "fc")}
+    if any(k == _STEM_CONV[arch] for k in skipped):
+        stem = _STEM_CONV[arch].split(".")[0].lstrip("_")
+        fresh_ok.add(("model", stem))
+    missing = []
+    for t in ("params", "batch_stats"):
+        for p in _leaves(out[t].get("model", {}) if out[t] else {}):
+            full = ("model",) + p
+            if (t, full) in filled:
+                continue
+            if any(full[:len(pre)] == pre for pre in fresh_ok):
+                continue
+            missing.append((t,) + full)
+    if missing:
+        names = ["/".join(m) for m in missing[:8]]
+        raise ValueError(
+            f"backbone checkpoint left {len(missing)} of our leaves "
+            f"unfilled (first: {names})")
+    return out
 
 
 def import_torch_classifier(state_dict: Dict, variables: Dict,

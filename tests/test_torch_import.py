@@ -216,6 +216,120 @@ class TestImportCLI:
         _assert_forward_match(ours, v2, ref)
 
 
+EFFNET_CLASSES = 35  # matches test_efficientnet_parity.N_CLASSES
+
+
+class TestBackboneOnlyImport:
+    """``import_torch_backbone``: bare backbone state_dicts (the published
+    ImageNet EfficientNet weight format, reference
+    models/efficientnet/utils.py:556-617) with the reference's
+    load_fc=False fc-swap + ``_change_in_channels`` stem semantics
+    (model_helper.py:78-94, model.py:410-419)."""
+
+    def _our_effnet(self, num_classes=EFFNET_CLASSES):
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "efficientnet", "model_depth": "b0",
+                      "num_classes": num_classes, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        return ours, variables
+
+    def test_imagenet_shape_keeps_fresh_stem_and_head(self):
+        """A 3-channel 1000-class ImageNet-format state_dict loads into the
+        1-channel audio model: blocks + BN stats migrate, stem and fc stay
+        at our fresh init (reference _change_in_channels + load_fc=False)."""
+        from test_efficientnet_parity import _load_reference_efficientnet
+        from leaf_tpu.models.torch_import import import_torch_backbone
+
+        enm = _load_reference_efficientnet()
+        ref = enm.EfficientNet.from_name("efficientnet-b0", in_channels=3,
+                                         num_classes=1000)
+        # move BN stats + params off init so migration is observable
+        ref.train()
+        with torch.no_grad():
+            ref(torch.randn(2, 3, 64, 64))
+        ref.eval()
+
+        ours, variables = self._our_effnet()
+        v2 = import_torch_backbone(ref.state_dict(), variables,
+                                   "efficientnet", load_fc=False)
+
+        p0, p2 = variables["params"]["model"], v2["params"]["model"]
+        # fresh: stem (channel mismatch) and head (load_fc=False)
+        np.testing.assert_array_equal(np.asarray(p0["conv_stem"]["kernel"]),
+                                      p2["conv_stem"]["kernel"])
+        np.testing.assert_array_equal(np.asarray(p0["fc"]["kernel"]),
+                                      p2["fc"]["kernel"])
+        # migrated: a mid-block depthwise kernel, OIHW→HWIO transposed
+        tk = ref.state_dict()["_blocks.3._depthwise_conv.weight"].numpy()
+        np.testing.assert_allclose(
+            p2["block_3"]["depthwise_conv"]["kernel"],
+            np.transpose(tk, (2, 3, 1, 0)), rtol=1e-6)
+        # migrated: BN running stats (moved by the torch forward above)
+        bs2 = v2["batch_stats"]["model"]["block_0"]["bn1"]
+        rm = ref.state_dict()["_blocks.0._bn1.running_mean"].numpy()
+        np.testing.assert_allclose(np.asarray(bs2["mean"]), rm, rtol=1e-6)
+
+    def test_audio_shape_load_fc_roundtrip_forward(self):
+        """A 1-channel same-class-count backbone state_dict with
+        load_fc=True covers the whole backbone; with our frontend params
+        injected into the torch side, full forwards must then match."""
+        from test_efficientnet_parity import (_RefClassifier,
+                                              _inject_effnet_params,
+                                              _load_reference_efficientnet)
+        from test_torch_cross_validation import _load_reference_leaf
+        from leaf_tpu.models.torch_import import import_torch_backbone
+
+        ours, variables = self._our_effnet()
+        ref = _RefClassifier(_load_reference_leaf(),
+                             _load_reference_efficientnet())
+        _inject_effnet_params(variables["params"]["model"], ref.model)
+        from test_trajectory_parity import inject_frontend_params
+        _torch_train_steps(ref, EFFNET_CLASSES, steps=2)
+        # the torch steps trained the frontend too; the backbone import
+        # keeps OUR frontend — re-align the torch side so the eval
+        # forwards are comparable
+        inject_frontend_params(variables["params"]["features"],
+                               ref.features)
+
+        backbone_sd = {k[len("model."):]: v
+                       for k, v in ref.state_dict().items()
+                       if k.startswith("model.")}
+        v2 = import_torch_backbone(backbone_sd, variables, "efficientnet",
+                                   load_fc=True)
+        # frontend must still be our (injected, identical) init
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["features"]["complex_conv"]
+                       ["kernel"]),
+            v2["params"]["features"]["complex_conv"]["kernel"])
+        _assert_forward_match(ours, v2, ref)
+
+    def test_unknown_backbone_key_raises(self):
+        from leaf_tpu.models.torch_import import import_torch_backbone
+        _, variables = self._our_effnet()
+        with pytest.raises(KeyError, match="unrecognized"):
+            import_torch_backbone(
+                {"made_up.weight": np.zeros((1,), np.float32)},
+                variables, "efficientnet")
+
+    def test_partial_backbone_refused(self):
+        from test_efficientnet_parity import _load_reference_efficientnet
+        from leaf_tpu.models.torch_import import import_torch_backbone
+        enm = _load_reference_efficientnet()
+        ref = enm.EfficientNet.from_name("efficientnet-b0", in_channels=1,
+                                         num_classes=EFFNET_CLASSES)
+        _, variables = self._our_effnet()
+        sd = dict(list(ref.state_dict().items())[:10])  # truncated
+        with pytest.raises(ValueError, match="unfilled"):
+            import_torch_backbone(sd, variables, "efficientnet")
+
+
 class TestImportErrors:
     def test_unknown_key_raises(self):
         from leaf_tpu.models import Classifier
