@@ -156,6 +156,67 @@ class TestForwardParity:
                                    atol=5e-4, rtol=1e-3)
 
 
+class TestReducePlateauParity:
+    """Trajectory parity of the 'reduce' scheduler controller vs torch
+    ReduceLROnPlateau (reference utilities/training_utils.py:58-70: max
+    mode, factor=gamma, patience=15, min_lr=1e-6, threshold=5e-3 'rel').
+    The controller is host-side state (leaf_tpu/training/optim.py:60-108),
+    so parity is over the full lr sequence for identical metric feeds."""
+
+    def _torch_lr_sequence(self, metrics, factor, patience, threshold):
+        p = torch.nn.Parameter(torch.zeros(1))
+        opt = torch.optim.SGD([p], lr=1e-3)
+        sched = torch.optim.lr_scheduler.ReduceLROnPlateau(
+            opt, mode="max", factor=factor, patience=patience,
+            threshold=threshold, min_lr=1e-6)
+        lrs = []
+        for m in metrics:
+            sched.step(m)
+            lrs.append(opt.param_groups[0]["lr"])
+        return lrs
+
+    def _ours_lr_sequence(self, metrics, factor, patience):
+        from leaf_tpu.training.optim import ReduceLROnPlateau
+        ctl = ReduceLROnPlateau(base_lr=1e-3, factor=factor,
+                                patience=patience)
+        return [ctl.step(m) for m in metrics]
+
+    @pytest.mark.parametrize("patience,factor", [(15, 0.1), (2, 0.5)])
+    def test_lr_sequence_matches_torch(self, patience, factor):
+        """Realistic noisy accuracy curve: rises, plateaus long enough to
+        trigger multiple reductions, dips and recovers. Every per-epoch lr
+        must match torch's exactly."""
+        rng = np.random.RandomState(0)
+        ramp = np.linspace(0.2, 0.9, 30)
+        plateau = 0.9 + 0.002 * rng.randn(120)  # sub-threshold wiggle
+        dip = np.concatenate([np.full(10, 0.85), np.linspace(0.85, 0.95, 5)])
+        metrics = np.concatenate([ramp, plateau, dip, 0.95
+                                  + 0.001 * rng.randn(60)]).tolist()
+        ours = self._ours_lr_sequence(metrics, factor, patience)
+        ref = self._torch_lr_sequence(metrics, factor, patience, 5e-3)
+        assert ours == pytest.approx(ref, rel=1e-12), \
+            list(zip(metrics, ours, ref))
+        assert min(ours) < 1e-3  # the plateau actually triggered reductions
+
+    def test_negative_metric_sign_flip(self):
+        """torch's 'rel' threshold best*(1+eps) flips the margin's sign for
+        negative bests (e.g. tracking -loss); our controller must flip
+        identically."""
+        metrics = [-2.0, -1.99, -1.995, -2.1, -1.5] + [-1.5] * 20 + [-1.0]
+        ours = self._ours_lr_sequence(metrics, 0.1, 3)
+        ref = self._torch_lr_sequence(metrics, 0.1, 3, 5e-3)
+        assert ours == pytest.approx(ref, rel=1e-12), list(zip(ours, ref))
+
+    def test_min_lr_floor(self):
+        """A never-improving feed must decay lr to min_lr and hold, exactly
+        as torch does."""
+        metrics = [1.0] + [0.5] * 200
+        ours = self._ours_lr_sequence(metrics, 0.1, 2)
+        ref = self._torch_lr_sequence(metrics, 0.1, 2, 5e-3)
+        assert ours == pytest.approx(ref, rel=1e-12)
+        assert ours[-1] == pytest.approx(1e-6)
+
+
 class TestTrajectoryParity:
     def test_fifty_adam_steps_loss_curve(self, both_models):
         """50 Adam + warmup-cosine steps on identical data: per-step train
