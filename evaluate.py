@@ -134,7 +134,11 @@ def main(args):
                 [flat, np.zeros((pad,) + flat.shape[1:], flat.dtype)])
         xb = (shard_batch(mesh, jnp.asarray(flat)) if n_dev > 1
               else jnp.asarray(flat))
-        return np.asarray(forward(state.params, state.batch_stats, xb))[:n]
+        # f32 for the host-side metric math: under compute_dtype=bfloat16
+        # the logits come back as ml_dtypes.bfloat16, which numpy keeps
+        # but sklearn's check_array rejects as a non-numeric dtype
+        out = forward(state.params, state.batch_stats, xb)
+        return np.asarray(out.astype(jnp.float32))[:n]
 
     # Bucket clips by window count so each unique shape compiles ONCE and
     # clips batch together — the reference evaluates clip-by-clip at

@@ -47,8 +47,8 @@ def d_prime(auc: float) -> float:
 def calculate_stats(output: np.ndarray, target: np.ndarray,
                     class_indices: Optional[Iterable[int]] = None) -> List[dict]:
     """Per-class AP / AUC / PR / ROC (reference: metrics_helper.py:46-89)."""
-    output = np.asarray(output)
-    target = np.asarray(target)
+    output = np.asarray(output, dtype=np.float64)  # sklearn rejects bf16
+    target = np.asarray(target, dtype=np.float64)
     classes_num = target.shape[-1]
     if class_indices is None:
         class_indices = range(classes_num)
@@ -87,8 +87,12 @@ def calculate_mAP(preds, gts, mixup: bool = False,
                   mode: str = "macro") -> float:
     """Mean average precision over concatenated batch lists; mixed-up soft
     targets binarized at 0.5 (reference: metrics_helper.py:100-107)."""
-    preds = np.concatenate([np.asarray(p) for p in preds], axis=0)
-    gts = np.concatenate([np.asarray(g) for g in gts], axis=0)
+    # float64 coercion also normalizes ml_dtypes.bfloat16 arrays, which
+    # numpy accepts but sklearn's check_array rejects as non-numeric
+    preds = np.concatenate(
+        [np.asarray(p, dtype=np.float64) for p in preds], axis=0)
+    gts = np.concatenate(
+        [np.asarray(g, dtype=np.float64) for g in gts], axis=0)
     if mixup:
         gts = (gts >= 0.5).astype(gts.dtype)
     return float(average_precision_score(gts, preds, average=mode))

@@ -264,12 +264,14 @@ def make_eval_step(model_type: str = "multiclass") -> Callable:
         if multilabel:
             per_example = optax.sigmoid_binary_cross_entropy(
                 logits, y).mean(axis=-1)
-            outputs = jax.nn.sigmoid(logits)
+            # f32 for the host: mAP/AUC go through sklearn, whose
+            # check_array rejects ml_dtypes.bfloat16 as non-numeric
+            outputs = jax.nn.sigmoid(logits).astype(jnp.float32)
             hits = jnp.zeros((x.shape[0],), jnp.float32)
         else:
             per_example = optax.softmax_cross_entropy_with_integer_labels(
                 logits, y)
-            outputs = logits
+            outputs = logits.astype(jnp.float32)
             hits = (jnp.argmax(logits, axis=-1) == y).astype(jnp.float32)
         if w is None:
             w = jnp.ones((x.shape[0],), jnp.float32)
