@@ -45,6 +45,13 @@ def parse_args():
     p.add_argument("--continue_from_ckpt", type=str, default=None)
     p.add_argument("--random_seed", type=int, default=8881)
     p.add_argument("--log_steps", type=int, default=50)
+    p.add_argument("--save_every", type=int, default=1,
+                   help="checkpoint every N epochs (default 1 = per-epoch,"
+                        " the reference's cadence, train_xla.py:356). The"
+                        " last epoch always saves; epochs that improve the"
+                        " val metric always save (test.py-style best-ckpt"
+                        " selection stays exact). Useful on hosts where"
+                        " the per-epoch orbax save dominates short epochs.")
     p.add_argument("--n_devices", type=int, default=None,
                    help="restrict to first N devices (default: all)")
     p.add_argument("--batch_mode", choices=("per_device", "global"),
@@ -560,8 +567,10 @@ def train(args):
 
             sched_state = (plateau.state_dict()
                            if plateau is not None else None)
-            save_checkpoint(args.expdir, state, epoch, tr_loss, tr_acc,
-                            val_metric, scheduler_state=sched_state)
+            if (epoch == args.epochs - 1 or val_metric > best_val
+                    or (epoch + 1) % max(1, args.save_every) == 0):
+                save_checkpoint(args.expdir, state, epoch, tr_loss, tr_acc,
+                                val_metric, scheduler_state=sched_state)
             if plateau is not None:
                 # place the new LR with the opt_state's replicated global
                 # sharding — a plain jnp scalar lives only on this
