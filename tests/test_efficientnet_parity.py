@@ -189,63 +189,82 @@ class TestForwardParity:
                                    atol=5e-4, rtol=1e-3)
 
 
+N_STEPS_LONG = 100
+
+
+def _make_traj_data():
+    rng = np.random.RandomState(123)
+    n_items = 4 * BATCH
+    t = np.arange(16000, dtype=np.float32) / 16000.0
+    labels = (np.arange(n_items) % N_CLASSES).astype(np.int64)
+    freqs = 300.0 + 100.0 * labels
+    waves = 0.2 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
+    waves = (waves + 0.02 * rng.randn(n_items, 16000)).astype(np.float32)
+    return waves, labels
+
+
+def _run_ours_trajectory(cfg, apply_fn, variables, waves, labels,
+                         n_steps):
+    from leaf_tpu.training import (TrainState, make_train_step,
+                                   optimization_helper)
+    tx, _, _ = optimization_helper(
+        cfg, num_tr_steps_per_epoch=WARMUP, num_epochs=n_steps // WARMUP)
+    state = TrainState.create(
+        apply_fn=apply_fn, params=variables["params"],
+        batch_stats=variables["batch_stats"], tx=tx)
+    train_step = make_train_step("multiclass", donate=False)
+    key = jax.random.PRNGKey(7)
+    losses = []
+    for step in range(n_steps):
+        lo = (step % 4) * BATCH
+        xb = jnp.asarray(waves[lo:lo + BATCH])
+        yb = jnp.asarray(labels[lo:lo + BATCH].astype(np.int32))
+        state, metrics = train_step(state, xb, yb, key)
+        losses.append(float(metrics["loss"]))
+    return np.asarray(losses)
+
+
+@pytest.fixture(scope="module")
+def long_trajectory():
+    """Shared 100-step setup: one deterministic pair (dropout and
+    drop-connect disabled — the only stochastic ops) and ONE torch
+    reference trajectory (Adam + HF cosine schedule, per-batch step,
+    reference loop semantics train_xla.py:259-294) that both the f32 and
+    bf16 variants compare against."""
+    import transformers
+
+    cfg, ours, variables, ref = _build_pair(
+        dropout_rate=0.0, drop_connect_rate=0.0)
+    waves, labels = _make_traj_data()
+
+    ref.train()
+    opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=WD)
+    sched = transformers.get_cosine_schedule_with_warmup(
+        opt, num_warmup_steps=WARMUP, num_training_steps=N_STEPS_LONG)
+    loss_fn = torch.nn.CrossEntropyLoss()
+    ref_losses = []
+    for step in range(N_STEPS_LONG):
+        lo = (step % 4) * BATCH
+        xb = torch.from_numpy(waves[lo:lo + BATCH]).unsqueeze(1)
+        yb = torch.from_numpy(labels[lo:lo + BATCH])
+        opt.zero_grad()
+        loss = loss_fn(ref(xb), yb)
+        loss.backward()
+        opt.step()
+        sched.step()
+        ref_losses.append(float(loss.detach()))
+    return cfg, ours, variables, waves, labels, np.asarray(ref_losses)
+
+
 class TestTrajectoryParity:
-    def test_thirty_adam_steps_loss_curve(self):
-        """30 Adam + warmup-cosine steps on identical data, dropout and
-        drop-connect disabled on BOTH sides (the only stochastic ops):
-        per-step train losses must track (reference loop semantics
-        train_xla.py:259-294, scheduler stepped per batch)."""
-        import transformers
-
-        from leaf_tpu.training import (TrainState, make_train_step,
-                                       optimization_helper)
-
-        cfg, ours, variables, ref = _build_pair(
-            dropout_rate=0.0, drop_connect_rate=0.0)
-        rng = np.random.RandomState(123)
-        n_items = 4 * BATCH
-        t = np.arange(16000, dtype=np.float32) / 16000.0
-        labels = (np.arange(n_items) % N_CLASSES).astype(np.int64)
-        freqs = 300.0 + 100.0 * labels
-        waves = 0.2 * np.sin(2 * np.pi * freqs[:, None] * t[None, :])
-        waves = (waves + 0.02 * rng.randn(n_items, 16000)).astype(np.float32)
-
-        # ---- ours: the real training stack
-        tx, _, _ = optimization_helper(
-            cfg, num_tr_steps_per_epoch=WARMUP, num_epochs=N_STEPS // WARMUP)
-        state = TrainState.create(
-            apply_fn=ours.apply, params=variables["params"],
-            batch_stats=variables["batch_stats"], tx=tx)
-        train_step = make_train_step("multiclass", donate=False)
-        key = jax.random.PRNGKey(7)
-        our_losses = []
-        for step in range(N_STEPS):
-            lo = (step % 4) * BATCH
-            xb = jnp.asarray(waves[lo:lo + BATCH])
-            yb = jnp.asarray(labels[lo:lo + BATCH].astype(np.int32))
-            state, metrics = train_step(state, xb, yb, key)
-            our_losses.append(float(metrics["loss"]))
-
-        # ---- reference: torch Adam + HF cosine schedule, per-batch step
-        ref.train()
-        opt = torch.optim.Adam(ref.parameters(), lr=LR, weight_decay=WD)
-        sched = transformers.get_cosine_schedule_with_warmup(
-            opt, num_warmup_steps=WARMUP, num_training_steps=N_STEPS)
-        loss_fn = torch.nn.CrossEntropyLoss()
-        ref_losses = []
-        for step in range(N_STEPS):
-            lo = (step % 4) * BATCH
-            xb = torch.from_numpy(waves[lo:lo + BATCH]).unsqueeze(1)
-            yb = torch.from_numpy(labels[lo:lo + BATCH])
-            opt.zero_grad()
-            loss = loss_fn(ref(xb), yb)
-            loss.backward()
-            opt.step()
-            sched.step()
-            ref_losses.append(float(loss.detach()))
-
-        our_losses = np.asarray(our_losses)
-        ref_losses = np.asarray(ref_losses)
+    def test_hundred_adam_steps_loss_curve_f32(self, long_trajectory):
+        """100 Adam + warmup-cosine steps on identical data: per-step train
+        losses must track torch throughout — long enough to expose slow
+        divergence from BN running-stat accumulation and schedule tails
+        that the old 30-step horizon could not see."""
+        cfg, ours, variables, waves, labels, ref_losses = long_trajectory
+        our_losses = _run_ours_trajectory(
+            cfg, ours.apply, variables, waves, labels, N_STEPS_LONG)
         assert abs(our_losses[0] - ref_losses[0]) < 1e-3, \
             (our_losses[0], ref_losses[0])
         diff = np.abs(our_losses - ref_losses)
@@ -255,3 +274,37 @@ class TestTrajectoryParity:
         # and training actually learned in both
         assert our_losses[-1] < 0.5 * our_losses[0]
         assert ref_losses[-1] < 0.5 * ref_losses[0]
+
+    def test_hundred_steps_bf16_bounded_divergence(self, long_trajectory):
+        """The SAME 100 steps with bfloat16 compute (f32 params — exactly
+        what `train.py --bf16` and the bench headline run): per-step losses
+        cannot match an f32 trajectory bit-for-bit, but the divergence must
+        stay BOUNDED — same optimization basin, same convergence — proving
+        the bf16 policy + fused-kernel gradients train, not just run."""
+        cfg, _, variables, waves, labels, ref_losses = long_trajectory
+        from leaf_tpu.models import Classifier
+        bcfg = {**cfg,
+                "frontend": {**cfg["frontend"], "compute_dtype": "bfloat16"},
+                "model": {**cfg["model"], "compute_dtype": "bfloat16"}}
+        bf16_model = Classifier(cfg=bcfg)
+        our_losses = _run_ours_trajectory(
+            bcfg, bf16_model.apply, variables, waves, labels, N_STEPS_LONG)
+        # same starting point within bf16 rounding of one forward
+        # (measured 0.033 on this task)
+        assert abs(our_losses[0] - ref_losses[0]) < 0.05, \
+            (our_losses[0], ref_losses[0])
+        # bounded divergence: individual steps in the steep-descent phase
+        # legitimately jitter (measured single-step rel up to 1.8 around
+        # step 14 while both curves plunge), so bound the MEDIAN relative
+        # gap over the curve (measured ~0.02), not the pointwise max
+        diff = np.abs(our_losses - ref_losses)
+        scale = np.maximum(np.abs(ref_losses), 0.1)
+        assert float(np.median(diff / scale)) < 0.25, \
+            list(zip(our_losses, ref_losses))
+        # …and the tails agree: both converged to the same loss level
+        # (measured tail rel 0.017)
+        tail_ours = float(our_losses[-10:].mean())
+        tail_ref = float(ref_losses[-10:].mean())
+        assert abs(tail_ours - tail_ref) / max(tail_ref, 0.1) < 0.25, \
+            (tail_ours, tail_ref)
+        assert our_losses[-1] < 0.5 * our_losses[0]
