@@ -32,13 +32,16 @@ How (forward), per grid step (batch-tile i, position-block m):
      per-frame N=P dots) — combined with one segment_sum in XLA.
 
 Backward (custom VJP) saves nothing but the inputs: per tile it recomputes
-OUT/S, folds the output cotangent through the transposed lowpass (d_S,
-via static per-pattern window slabs — see _build_bwd_windows), forms
+OUT/S, folds the output cotangent through the transposed lowpass as ONE
+(Bt, 4C) @ (4C, 128P) dot against a per-pattern fused selector (channel
+one-hot ⊙ slot window, see _build_bwd_selectors), forms
 d_OUT = 2·OUT·d_S, and accumulates into VMEM-resident buffers
-  dT_re/im += Xᵀ @ d_OUT_re/im   (MXU)
-  dW_q[pattern, slot] += Σ_b S·d_out   (VPU, static q-space slab)
+  dT_re/im += Xᵀ @ d_OUT_re/im                     (MXU)
+  dW_q[pattern] += chanfold(d_outᵀ @ S)            (MXU + C-row VPU fold)
 after which XLA folds the Toeplitz-structured dT back to dG by diagonal
-sums and the q-space dW slab back to taps by 24 static shifted adds. The waveform gradient is NOT produced (the frontend input is the raw
+sums and the q-space dW slab back to taps by 24 static shifted adds. All
+cotangent-side matmuls run at the compute dtype (like the dT dots). The
+waveform gradient is NOT produced (the frontend input is the raw
 waveform; with a preceding preemphasis layer use the XLA path instead).
 
 Channel grouping bounds VMEM: the forward runs up to 24 pairs per kernel
@@ -260,23 +263,30 @@ def _build_selectors(windows_g: jnp.ndarray, stride: int,
     return jnp.stack(sels)
 
 
-def _build_bwd_windows(windows_g: jnp.ndarray, stride: int,
-                       pad_l: int) -> jnp.ndarray:
-    """(P, K) windows → (6, 1, 4·128·P) per-pattern flat window slabs:
+def _build_bwd_selectors(windows_g: jnp.ndarray, stride: int, pad_l: int,
+                         n_chan: int, ch0: int) -> jnp.ndarray:
+    """(P, K) windows → (6, 4·C, 128·P) fused backward selectors:
 
-    wq[q, j·128·P + r·P + p] = W[p, off_j(rep_q) + r] (zero outside
-    [0, K)). The backward kernel's per-slot window row is then a STATIC
-    lane slice of its pattern's slab (BlockSpec-indexed by _sel_index),
-    replacing the former dynamic `pl.ds` slicing into a margin-padded
-    flat window (whose mod-16 alignment games _WMARGIN used to carry)."""
+    bsel[q, j·C + c, r·P + p] = δ_{c, ch0+p} · W[p, off_j(rep_q) + r]
+    (zero where the tap falls outside [0, K); C = n_chan, the
+    full-channel cotangent width).
+
+    The channel one-hot AND the slot window row fold into ONE matmul
+    operand, so the backward's cotangent fold d_S = Σ_j dout_j ⊙ w_j is
+    a single (Bt, 4C) @ (4C, 128P) dot — replacing 4 per-slot broadcast
+    dots plus 4 VPU multiply-accumulates on (Bt, 128P) (see _bwd_kernel)."""
     p, k = windows_g.shape
     w = windows_g.astype(jnp.float32)
-    rows = []
+    onehot = (jnp.arange(n_chan)[:, None]
+              == ch0 + jnp.arange(_POS_BLOCK * p)[None, :] % p)
+    onehot = onehot.astype(jnp.float32)           # (C, 128·P)
+    sels = []
     for m_rep in _SEL_REPS:
-        segs = [_window_block(w, off, lo, hi).reshape(1, _POS_BLOCK * p)
+        segs = [onehot * _window_block(w, off, lo, hi).reshape(
+                    1, _POS_BLOCK * p)
                 for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k)]
-        rows.append(jnp.concatenate(segs, axis=1))
-    return jnp.stack(rows)  # (6, 1, 4·128·P)
+        sels.append(jnp.concatenate(segs, axis=0))  # (4·C, 128·P)
+    return jnp.stack(sels)
 
 
 def _fold_bwd_windows(dwf: jnp.ndarray, k: int, stride: int,
@@ -370,7 +380,7 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 # --------------------------------------------------------------- backward
 
 def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
-    (x0, x1, x2, x3, x4, tre_ref, tim_ref, wq_ref, dout_ref,
+    (x0, x1, x2, x3, x4, tre_ref, tim_ref, bsel_ref, dout_ref,
      dtre_ref, dtim_ref, dwf_ref) = refs
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -389,35 +399,36 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
         s = s * _pos_mask_flat(m, t_len, n_pairs)
 
     np_ = n_pairs
-    bt = x0.shape[0]
-    # This group's channel selection is folded into the slot-broadcast
-    # matrix: selhot[c, r·P + p] = δ_{c, ch0+p}, built by iota compare —
-    # the dout block keeps ALL channels (lane dim F, 128-friendly) and the
-    # group select costs zero extra MXU passes (K grows 8 → F within one
-    # 128-wide K tile). XLA-side per-group slicing of the slot-expanded
-    # cotangent is what this replaces: a 5-way split fusion measured
-    # 0.53 ms/step and a group-major transpose 0.52 ms/step — both on
-    # lane-hostile minor-dim-8 layouts. Out-of-range frame slots carry
-    # zero cotangents by construction (zero-frame-padded gather in
-    # _fused_bwd), so no validity masking is needed here.
-    n_chan = dout_ref.shape[-1]
+    # This group's channel selection AND the slot windows are folded into
+    # the bsel operand (see _build_bwd_selectors): the dout block keeps
+    # ALL channels (lane dim 4C, 128-friendly) and the whole cotangent
+    # fold d_S is ONE (Bt, 4C) @ (4C, 128P) dot at the compute dtype —
+    # replacing 4 per-slot f32 broadcast dots (f32 forces the MXU's
+    # multipass decomposition) + 4 VPU multiply-accumulates on (Bt, 128P).
+    # XLA-side per-group slicing of the slot-expanded cotangent was
+    # measured worse still: a 5-way split fusion 0.53 ms/step, a
+    # group-major transpose 0.52 ms/step — lane-hostile minor-dim-8
+    # layouts. Out-of-range frame slots carry zero cotangents by
+    # construction (zero-frame-padded gather in _fused_bwd).
+    dall = dout_ref[0]                             # (Bt, 4·C)
+    d_s = jnp.dot(dall, bsel_ref[0], preferred_element_type=jnp.float32)
+    # dW in q-space via the MXU instead of per-slot VPU batch reductions:
+    # mjc[j·C + c, l] = Σ_b dall[b, j·C+c] · S[b, l], then the per-lane
+    # channel fold Σ_c mjc[j·C+c, l]·δ_{c, ch0+l%P} is a C-row VPU
+    # reduce (C = 40) — ~3× less VPU work than the former per-slot
+    # (Bt=128)-row reductions, for the same 16 MXU passes.
+    n_chan = dall.shape[-1] // _FRAMES_PER_BLOCK
+    s_c = s.astype(x0.dtype)
+    mjc = jax.lax.dot_general(
+        dall, s_c, dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32)        # (4·C, 128·P)
     crow = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 0)
     pcol = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 1)
-    selhot = (crow == ch0 + pcol % np_).astype(jnp.float32)  # (F, 128·P)
-    d_s = jnp.zeros((bt, _POS_BLOCK * np_), jnp.float32)
-    dw_segs = []
-    for j in range(_FRAMES_PER_BLOCK):
-        # this pattern's slot-j window row: a STATIC lane slice of the
-        # (1, 4·128·P) slab the BlockSpec fetched for q = _sel_index(m)
-        wf = wq_ref[0, :, j * _POS_BLOCK * np_:(j + 1) * _POS_BLOCK * np_]
-        dof = dout_ref[:, 0, j, :]                 # (Bt, F)
-        # broadcast frame cotangent to flat positions: dof_flat[b, r·P+p]
-        dof_flat = jnp.dot(dof, selhot,
-                           preferred_element_type=jnp.float32)
-        d_s = d_s + dof_flat * wf
-        # dW in q-space: dwf[q, j·128·P + r·P + p] += Σ_b S·dof — folded
-        # back to tap space by 24 static adds in _fold_bwd_windows
-        dw_segs.append(jnp.sum(s * dof_flat, axis=0, keepdims=True))
+    selhot = (crow == ch0 + pcol % np_).astype(jnp.float32)  # (C, 128·P)
+    dw_segs = [
+        jnp.sum(mjc[j * n_chan:(j + 1) * n_chan] * selhot, axis=0,
+                keepdims=True)
+        for j in range(_FRAMES_PER_BLOCK)]
     q = _sel_index(m)
     dwf_ref[q] = dwf_ref[q] + jnp.concatenate(dw_segs, axis=1)
 
@@ -461,17 +472,18 @@ _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
                    t_len, stride, pad_l, interpret):
     """One backward pair-group. ``d_all`` is the SHARED slot-expanded
-    cotangent (B, M, 4, F_pad) in its natural layout — lane dim F, one
-    gather to build, no per-group XLA work at all; every group's kernel
-    streams the full-channel block and selects its ``ch0``..``ch0+P``
-    channels in-kernel via the iota one-hot folded into the
-    slot-broadcast matmul (see ``_bwd_kernel``)."""
+    cotangent (M, B, 4·F_pad) at the compute dtype — slot-major lane dim
+    4·F (128-friendly), one gather + relayout to build, no per-group XLA
+    work at all; every group's kernel streams the full-channel block and
+    selects its ``ch0``..``ch0+P`` channels via the one-hot folded into
+    its bsel operand (see ``_bwd_kernel``)."""
     b = xp.shape[0]
     n_pairs = windows_g.shape[0]
-    n_chan = d_all.shape[-1]
+    n_chan = d_all.shape[-1] // _FRAMES_PER_BLOCK
     bt = b if b <= 128 else 128
 
-    wq = _build_bwd_windows(windows_g, stride, pad_l)  # (6, 1, 4·128·P)
+    bsel = _build_bwd_selectors(windows_g, stride, pad_l, n_chan,
+                                ch0).astype(xp.dtype)  # (6, 4·C, 128·P)
     slab_w = _FRAMES_PER_BLOCK * _POS_BLOCK * n_pairs
 
     kern = functools.partial(
@@ -486,10 +498,12 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(big, lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, slab_w), lambda i, m: (_sel_index(m), 0, 0),
+            pl.BlockSpec((1, _FRAMES_PER_BLOCK * n_chan,
+                          _POS_BLOCK * n_pairs),
+                         lambda i, m: (_sel_index(m), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((bt, 1, _FRAMES_PER_BLOCK, n_chan),
-                         lambda i, m: (i, m, 0, 0),
+            pl.BlockSpec((1, bt, _FRAMES_PER_BLOCK * n_chan),
+                         lambda i, m: (m, i, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
@@ -506,7 +520,7 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
             jax.ShapeDtypeStruct((6, 1, slab_w), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, wq, d_all)
+    )(xp, xp, xp, xp, xp, t_re, t_im, bsel, d_all)
 
     # Toeplitz cotangents returned UNfolded (SLAB_PAD, 128, P) — the
     # caller concatenates all groups/banks and folds once (the fold reads
@@ -633,21 +647,26 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
     # Out-of-range slots gather row n_frames of the zero-frame-padded
     # cotangent — ZERO rows — so the kernels need no validity masking.
     fr_safe = np.where(fr_ids < n_frames, fr_ids, n_frames)
-    # Slot-expand the output cotangent ONCE for all channels, in its
-    # NATURAL layout: one 2-D-index gather (B, n_frames+1, F_pad) →
-    # (B, M, 4, F_pad), lane dim F. No per-group XLA work follows — each
+    # Slot-expand the output cotangent ONCE for all channels: one
+    # 2-D-index gather (B, n_frames+1, F_pad) → (B, M, 4, F_pad), then a
+    # single relayout to the kernels' slot-major (M, B, 4·F_pad) block
+    # layout at the COMPUTE dtype (the cotangent-side matmuls run at the
+    # compute dtype like the dT dots — f32 operands force the MXU's
+    # multipass decomposition). No per-group XLA work follows — each
     # backward kernel streams the full-channel block and selects its
-    # channels in-kernel (see _bwd_kernel selhot). Alternatives measured
-    # at LEAF shape (bs 256, bf16, v5e): per-group 5-way split fusion
-    # 0.53 ms/step; group-major (G, B, M, 4, P) transpose 0.52 ms/step;
-    # an XLA-side out-of-range where on either 0.09-0.99 ms — all on
-    # lane-hostile minor-dim-8 layouts.
+    # channels via the one-hot folded into its bsel operand. Alternatives
+    # measured at LEAF shape (bs 256, bf16, v5e): per-group 5-way split
+    # fusion 0.53 ms/step; group-major (G, B, M, 4, P) transpose
+    # 0.52 ms/step; an XLA-side out-of-range where on either 0.09-0.99 ms
+    # — all on lane-hostile minor-dim-8 layouts.
     p_grp = _BWD_PAIR_GROUP
     groups = _pair_groups(f, p_grp)
     f_pad = len(groups) * p_grp
-    d0 = d_out.astype(jnp.float32)
+    d0 = d_out.astype(xp.dtype)
     d0 = jnp.pad(d0, ((0, 0), (0, 1), (0, f_pad - f)))
     d_all = d0[:, jnp.asarray(fr_safe)]  # (B, M, 4, F_pad)
+    d_all = d_all.swapaxes(0, 1).reshape(
+        m_blocks, x.shape[0], _FRAMES_PER_BLOCK * f_pad)
 
     d_res, d_ims, d_wins = [], [], []
     for g0, g1, p in groups:
