@@ -242,7 +242,7 @@ def check_fused_parity(batch: int = 64):
     return fwd_diff, grad_rel
 
 
-def _flagship_cfg(bf16: bool) -> dict:
+def _flagship_cfg(bf16: bool, remat: bool = False) -> dict:
     import copy
     from __graft_entry__ import FLAGSHIP_CFG
     cfg = copy.deepcopy(FLAGSHIP_CFG)
@@ -251,13 +251,15 @@ def _flagship_cfg(bf16: bool) -> dict:
         # exactly what `train.py --bf16` runs.
         cfg["frontend"]["compute_dtype"] = "bfloat16"
         cfg["model"]["compute_dtype"] = "bfloat16"
+    if remat:
+        cfg["model"]["remat"] = True
     return cfg
 
 
 def bench_ours(batch: int = BATCH, steps: int = STEPS,
                warmup: int = WARMUP, frontend_only: bool = False,
                inference_only: bool = False, bf16: bool = False,
-               steps_per_call: int = 1):
+               steps_per_call: int = 1, remat: bool = False):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -265,7 +267,7 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     from leaf_tpu.models import Classifier
     from leaf_tpu.training import TrainState, make_train_step, optimization_helper
 
-    cfg = _flagship_cfg(bf16)
+    cfg = _flagship_cfg(bf16, remat)
     rng0 = np.random.RandomState(0)
     n_bufs = min(8, steps)
     xs_list = [jnp.asarray(rng0.randn(batch, SR).astype("float32") * 0.1)
@@ -544,6 +546,10 @@ def main():
                    help="fuse K optimizer steps per dispatch via lax.scan "
                         "(train-step metric only; matches train.py "
                         "--steps_per_call)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the EffNet MBConv blocks in the "
+                        "backward (cfg model.remat) — A/B for the saved-"
+                        "activation HBM traffic")
     p.add_argument("--health", action="store_true",
                    help="only run the tunnel health probe and print it")
     p.add_argument("--skip-health", action="store_true",
@@ -630,7 +636,7 @@ def main():
         rate = max(rate, bench_ours(
             args.batch, args.steps, frontend_only=args.frontend_only,
             inference_only=args.inference, bf16=bf16,
-            steps_per_call=args.steps_per_call))
+            steps_per_call=args.steps_per_call, remat=args.remat))
         implied_ms = args.batch / rate * 1e3
         if (expected_ms is None or attempts >= max_attempts
                 or implied_ms <= expected_ms * _FLOOR_SLACK

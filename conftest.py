@@ -48,6 +48,7 @@ _SLOW_TESTS = {
     "test_dryrun_multichip_8",      # now compiles effnet-b0 on the mesh
     "test_pack_then_read_roundtrip",       # pack_dataset.py subprocess
     "test_packer_skips_unreadable",        # pack_dataset.py subprocess
+    "test_remat_matches_plain",            # two effnet fwd+bwd CPU compiles
 }
 
 

@@ -78,6 +78,8 @@ def get_classifier(opt: dict) -> nn.Module:
         for k in ("dropout_rate", "drop_connect_rate"):
             if k in opt:
                 kw[k] = float(opt[k])
+        if "remat" in opt:
+            kw["remat"] = bool(opt["remat"])
         return EfficientNet(model_name=f"efficientnet-{variant}",
                             num_classes=num_classes, **kw)
     raise ValueError(f"Unsupported value {arch} for opt['arch']")

@@ -249,6 +249,10 @@ class EfficientNet(nn.Module):
     # training deterministic (used by the torch trajectory-parity tests).
     dropout_rate: Optional[float] = None
     drop_connect_rate: Optional[float] = None
+    # Rematerialize each MBConv block in the backward (jax.checkpoint):
+    # trades ~free recompute on the under-utilized MXU for the HBM
+    # traffic of the saved 6×-expanded activations. cfg: model.remat.
+    remat: bool = False
 
     @nn.compact
     def __call__(self, x: jnp.ndarray, train: bool = False) -> jnp.ndarray:
@@ -290,17 +294,25 @@ class EfficientNet(nn.Module):
                 flat_blocks.append(ba)
 
         n = len(flat_blocks)
+        # Optional per-block rematerialization: recompute the block's
+        # activations in the backward instead of saving them. The MXU is
+        # ~1% utilized on this backbone (BASELINE.md), so recompute is
+        # nearly free, while the saved residuals are the 6×-expanded
+        # (B, H, W, 6C) tensors whose HBM traffic bounds the backbone.
+        # static_argnums: (self, x, train, drop_connect_rate) → 2, 3.
+        block_cls = (nn.remat(MBConvBlock, static_argnums=(2, 3))
+                     if self.remat else MBConvBlock)
         for idx, ba in enumerate(flat_blocks):
             rate = gp.drop_connect_rate
             if rate:
                 rate *= float(idx) / n  # linearly scaled stochastic depth
-            x = MBConvBlock(
+            x = block_cls(
                 block_args=ba.replace(num_repeat=1),
                 bn_momentum=gp.batch_norm_momentum,
                 bn_epsilon=gp.batch_norm_epsilon,
                 dtype=self.dtype,
                 name=f"block_{idx}",
-            )(x, train=train, drop_connect_rate=rate)
+            )(x, train, rate)
 
         # Head
         x = nn.Conv(round_filters(1280, gp), (1, 1), use_bias=False,

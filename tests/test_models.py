@@ -226,6 +226,45 @@ class TestClassifier:
             get_classifier({"arch": "densenet", "model_depth": 999,
                             "num_classes": 2})
 
+    def test_remat_matches_plain(self):
+        """model.remat=True (jax.checkpoint per MBConv block) must be a
+        pure memory/schedule knob. Run the comparison in FLOAT64: in f32
+        the two compilations legitimately differ by reassociation
+        rounding amplified through the batch-2 BN chains (measured loss
+        rel 3.7e-5, grad diffs up to ~1% — and the worst-looking leaves
+        are bn biases whose true grads are ~1e-12 by cancellation); in
+        f64 every gradient diff collapses to ~1e-13, proving exactness."""
+        import numpy as np
+
+        from leaf_tpu.models.efficientnet import EfficientNet
+
+        with jax.enable_x64(True):
+            x = jnp.asarray(np.random.RandomState(0)
+                            .randn(2, 40, 25, 1).astype("float64") * 0.1)
+            kw = dict(num_classes=7, dropout_rate=0.0,
+                      drop_connect_rate=0.0, dtype=jnp.float64)
+            plain = EfficientNet(**kw)
+            remat = EfficientNet(**kw, remat=True)
+            v = plain.init({"params": jax.random.PRNGKey(0)}, x,
+                           train=False)
+
+            def loss(mod, p):
+                out, _ = mod.apply(
+                    {"params": p, "batch_stats": v["batch_stats"]},
+                    x, train=True, mutable=["batch_stats"],
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+                return jnp.sum(out ** 2)
+
+            l0, g0 = jax.value_and_grad(lambda p: loss(plain, p))(
+                v["params"])
+            l1, g1 = jax.value_and_grad(lambda p: loss(remat, p))(
+                v["params"])
+            assert abs(float(l0) - float(l1)) < 1e-10 * abs(float(l0))
+            leaves0 = jax.tree_util.tree_leaves(g0)
+            gmax = max(float(jnp.linalg.norm(a)) for a in leaves0)
+            for a, b in zip(leaves0, jax.tree_util.tree_leaves(g1)):
+                assert float(jnp.linalg.norm(a - b)) <= 1e-9 * gmax
+
     def test_cifar_resnet_classifier(self):
         cfg = dict(self.CFG)
         cfg["model"] = {"arch": "cifar_resnet", "model_depth": 20,
