@@ -25,7 +25,15 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+try:  # jax ≥0.8 stable API (the experimental alias warns and will go);
+    # it renamed check_rep → check_vma, so adapt at the boundary.
+    from jax import shard_map as _shard_map_new
+
+    def shard_map(f, *, mesh, in_specs, out_specs, check_rep=True):
+        return _shard_map_new(f, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=check_rep)
+except ImportError:  # pragma: no cover - older jaxlib
+    from jax.experimental.shard_map import shard_map
 
 from leaf_tpu.training.state import TrainState
 from leaf_tpu.training.steps import (bce_logits_loss, cross_entropy_loss,
