@@ -235,6 +235,73 @@ class TestDatasets:
         assert len(flat_w) == 12
 
 
+    def test_packed_dataset_gcs_path(self, wav_dir, tmp_path, monkeypatch):
+        """Exercise the gs:// branch (reference packed_dataset.py:135-160)
+        under a recording fake google.cloud.storage — GCS is unreachable
+        here (zero egress), so without the mock the lazy-client code path
+        (_init_gcs, bucket.blob(...).open('rb')) never runs."""
+        import sys
+        import types
+
+        import msgpack
+        import pandas as pd
+
+        root, manifest, lbl_map = wav_dir
+        files = pd.read_csv(manifest)["files"].tolist()
+        records = [{"audio": open(f, "rb").read(),
+                    "label": f"class{files.index(f) % 3}",
+                    "duration": SR} for f in files[:4]]
+        (tmp_path / "blobs").mkdir()
+        (tmp_path / "blobs" / "shard0.msgpack").write_bytes(
+            msgpack.packb(records))
+        pk_manifest = tmp_path / "packed_gcs.csv"
+        pd.DataFrame({"files": ["shard0.msgpack"]}).to_csv(
+            pk_manifest, index=False)
+
+        seen = {"buckets": [], "blobs": []}
+
+        class _FakeBlob:
+            def __init__(self, name):
+                seen["blobs"].append(name)
+                self._path = tmp_path / "blobs" / name
+
+            def open(self, mode):
+                return open(self._path, mode)
+
+        class _FakeBucket:
+            def blob(self, name):
+                return _FakeBlob(name)
+
+        class _FakeClient:
+            def get_bucket(self, name):
+                seen["buckets"].append(name)
+                return _FakeBucket()
+
+        storage_mod = types.ModuleType("google.cloud.storage")
+        storage_mod.Client = _FakeClient
+        cloud_mod = types.ModuleType("google.cloud")
+        cloud_mod.storage = storage_mod
+        google_mod = types.ModuleType("google")
+        google_mod.cloud = cloud_mod
+        monkeypatch.setitem(sys.modules, "google", google_mod)
+        monkeypatch.setitem(sys.modules, "google.cloud", cloud_mod)
+        monkeypatch.setitem(sys.modules, "google.cloud.storage", storage_mod)
+
+        ds = PackedDataset(
+            str(pk_manifest), lbl_map,
+            audio_config={"sample_rate": SR, "min_duration": 1},
+            mode="multiclass", is_val=True,
+            transform=leaf_supervised_transforms(False, SR, SR),
+            gcs_bucket_path="my-audio-bucket")
+        assert ds._client is None  # client is lazy (per-worker safe)
+        waves, labels = ds[0]
+        assert seen["buckets"] == ["my-audio-bucket"]
+        assert seen["blobs"] == ["shard0.msgpack"]
+        assert len(waves) == 4 and waves[0].shape == (SR,)
+        ds[0]  # second read reuses the client — no re-init
+        assert seen["buckets"] == ["my-audio-bucket"]
+
+
 class TestSamplerLoader:
     def test_sharded_sampler_partitions(self):
         samplers = [ShardedSampler(10, num_replicas=4, rank=r, shuffle=False)

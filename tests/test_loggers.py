@@ -81,6 +81,81 @@ class TestTrainLogger:
         assert not os.path.exists(tmp_path / "x")
 
 
+class TestWandbPath:
+    """Execute the wandb branches under a recording fake module — wandb is
+    not installed in this image, so without the mock these lines (init,
+    log, Histogram, finish; reference train_xla.py:222-225,243-244,349-350)
+    would never run."""
+
+    @pytest.fixture
+    def fake_wandb(self, monkeypatch):
+        import sys
+        import types
+
+        calls = {"init": [], "log": [], "finish": 0, "hist": []}
+        mod = types.ModuleType("wandb")
+
+        def init(**kw):
+            calls["init"].append(kw)
+
+        def log(data, step=None):
+            calls["log"].append((data, step))
+
+        class Histogram:
+            def __init__(self, np_histogram=None):
+                calls["hist"].append(np_histogram)
+                self.np_histogram = np_histogram
+
+        def finish():
+            calls["finish"] += 1
+
+        mod.init, mod.log, mod.Histogram, mod.finish = (
+            init, log, Histogram, finish)
+        monkeypatch.setitem(sys.modules, "wandb", mod)
+        return calls
+
+    def test_scalars_and_finish(self, tmp_path, fake_wandb):
+        cfg = {"project": "leaf", "group": None, "tags": ["a", "b"]}
+        lg = TrainLogger(str(tmp_path), is_master=True,
+                         use_tensorboard=False, wandb_config=cfg)
+        assert fake_wandb["init"] == [cfg]
+        lg.log_scalars({"train/loss": 0.5, "lr": 1e-3}, step=7)
+        lg.close()
+        assert fake_wandb["log"] == [({"train/loss": 0.5, "lr": 1e-3}, 7)]
+        assert fake_wandb["finish"] == 1
+
+    def test_histograms_via_wandb(self, tmp_path, fake_wandb):
+        """wandb.watch(log='all') equivalent: on-device histogram tuples
+        must reach wandb.Histogram as a valid (counts, edges) pair, with
+        the constant-tensor relative-epsilon branch producing strictly
+        increasing edges."""
+        import numpy as np
+        from leaf_tpu.training.histograms import histogram_tree
+        hists = histogram_tree({
+            "w": np.random.RandomState(0).randn(32).astype(np.float32),
+            "const": np.full((5,), 1e5, np.float32),
+        })
+        lg = TrainLogger(str(tmp_path), is_master=True,
+                         use_tensorboard=False, wandb_config={"project": "x"})
+        lg.log_histograms(hists, step=2)
+        lg.close()
+        assert len(fake_wandb["hist"]) == 2
+        for counts, edges in fake_wandb["hist"]:
+            counts = np.asarray(counts)
+            edges = np.asarray(edges)
+            assert edges.shape[0] == counts.shape[0] + 1
+            assert np.all(np.diff(edges) > 0)
+        # every histogram log carried the step for wandb's monotone axis
+        assert all(step == 2 for _, step in fake_wandb["log"])
+
+    def test_non_master_never_inits(self, tmp_path, fake_wandb):
+        lg = TrainLogger(str(tmp_path / "x"), is_master=False,
+                         wandb_config={"project": "x"})
+        lg.log_scalars({"a": 1.0}, 0)
+        lg.close()
+        assert fake_wandb["init"] == [] and fake_wandb["log"] == []
+
+
 class TestProfileTrace:
     def test_trace_writes_files(self, tmp_path):
         import jax
