@@ -97,7 +97,7 @@ def _healthy_tflops(kind: str):
 # impossible for a healthy run — round 3's official capture was 45% below
 # the floor and nothing flagged it.
 _EXPECTED_STEP_MS = {
-    "TPU v5 lite": 12.4,  # round 4: 11.47 ms busy + ~1 ms pipelined gap
+    "TPU v5 lite": 12.1,  # round 4: 11.10 ms busy + ~1 ms pipelined gap
 }
 _FLOOR_SLACK = 1.20  # accept up to +20% over the trace-predicted wall
 

@@ -33,8 +33,11 @@ How (forward), per grid step (batch-tile i, position-block m):
 
 Backward (custom VJP) saves nothing but the inputs: per tile it recomputes
 OUT/S, folds the output cotangent through the transposed lowpass as ONE
-(Bt, 4C) @ (4C, 128P) dot against a per-pattern fused selector (channel
-one-hot ⊙ slot window, see _build_bwd_selectors), forms
+(Bt, 4P=32) @ (4P, 128P) dot against a per-pattern fused selector (pair
+one-hot ⊙ slot window, see _build_bwd_selectors; the cotangent block is
+the group's own slot-major (M, B, 4P) array, extracted from the shared
+slot-expanded cotangent by one exact permutation matmul — see
+_group_cotangent — so K and the dW dot's M are ONE MXU tile each), forms
 d_OUT = 2·OUT·d_S, and accumulates into VMEM-resident buffers
   dT_re/im += Xᵀ @ d_OUT_re/im                     (MXU)
   dW_q[pattern] += chanfold(d_outᵀ @ S)            (MXU + C-row VPU fold)
@@ -263,29 +266,31 @@ def _build_selectors(windows_g: jnp.ndarray, stride: int,
     return jnp.stack(sels)
 
 
-def _build_bwd_selectors(windows_g: jnp.ndarray, stride: int, pad_l: int,
-                         n_chan: int, ch0: int) -> jnp.ndarray:
-    """(P, K) windows → (6, 4·C, 128·P) fused backward selectors:
+def _build_bwd_selectors(windows_g: jnp.ndarray, stride: int,
+                         pad_l: int) -> jnp.ndarray:
+    """(P, K) windows → (6, 4·P, 128·P) fused backward selectors:
 
-    bsel[q, j·C + c, r·P + p] = δ_{c, ch0+p} · W[p, off_j(rep_q) + r]
-    (zero where the tap falls outside [0, K); C = n_chan, the
-    full-channel cotangent width).
+    bsel[q, j·P + p, r·P + p'] = δ_{p,p'} · W[p, off_j(rep_q) + r]
+    (zero where the tap falls outside [0, K)).
 
-    The channel one-hot AND the slot window row fold into ONE matmul
+    The pair one-hot AND the slot window row fold into ONE matmul
     operand, so the backward's cotangent fold d_S = Σ_j dout_j ⊙ w_j is
-    a single (Bt, 4C) @ (4C, 128P) dot — replacing 4 per-slot broadcast
-    dots plus 4 VPU multiply-accumulates on (Bt, 128P) (see _bwd_kernel)."""
+    a single (Bt, 4P) @ (4P, 128P) dot over the group's OWN slot-major
+    cotangent block (see _group_cotangent): K = 4P = 32 is one MXU
+    K-tile, and the dW dot's output M is one sublane tile — the former
+    full-channel (Bt, 4C=160) @ (4C, 128P) formulation paid two of each
+    (16 of ~164 passes/block)."""
     p, k = windows_g.shape
     w = windows_g.astype(jnp.float32)
-    onehot = (jnp.arange(n_chan)[:, None]
-              == ch0 + jnp.arange(_POS_BLOCK * p)[None, :] % p)
-    onehot = onehot.astype(jnp.float32)           # (C, 128·P)
+    onehot = (jnp.arange(p)[:, None]
+              == jnp.arange(_POS_BLOCK * p)[None, :] % p)
+    onehot = onehot.astype(jnp.float32)           # (P, 128·P)
     sels = []
     for m_rep in _SEL_REPS:
         segs = [onehot * _window_block(w, off, lo, hi).reshape(
                     1, _POS_BLOCK * p)
                 for _, off, lo, hi in _slot_taps(m_rep, stride, pad_l, k)]
-        sels.append(jnp.concatenate(segs, axis=0))  # (4·C, 128·P)
+        sels.append(jnp.concatenate(segs, axis=0))  # (4·P, 128·P)
     return jnp.stack(sels)
 
 
@@ -379,7 +384,7 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 
 # --------------------------------------------------------------- backward
 
-def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
+def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
     (x0, x1, x2, x3, x4, tre_ref, tim_ref, bsel_ref, dout_ref,
      dtre_ref, dtim_ref, dwf_ref) = refs
     i = pl.program_id(0)
@@ -399,35 +404,38 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
         s = s * _pos_mask_flat(m, t_len, n_pairs)
 
     np_ = n_pairs
-    # This group's channel selection AND the slot windows are folded into
-    # the bsel operand (see _build_bwd_selectors): the dout block keeps
-    # ALL channels (lane dim 4C, 128-friendly) and the whole cotangent
-    # fold d_S is ONE (Bt, 4C) @ (4C, 128P) dot at the compute dtype —
-    # replacing 4 per-slot f32 broadcast dots (f32 forces the MXU's
-    # multipass decomposition) + 4 VPU multiply-accumulates on (Bt, 128P).
-    # XLA-side per-group slicing of the slot-expanded cotangent was
-    # measured worse still: a 5-way split fusion 0.53 ms/step, a
-    # group-major transpose 0.52 ms/step — lane-hostile minor-dim-8
-    # layouts. Out-of-range frame slots carry zero cotangents by
-    # construction (zero-frame-padded gather in _fused_bwd).
-    dall = dout_ref[0]                             # (Bt, 4·C)
+    # This group's pair selection AND the slot windows are folded into
+    # the bsel operand (see _build_bwd_selectors): the dout block is the
+    # group's OWN slot-major (Bt, 4P) cotangent (built by one exact
+    # permutation matmul in _group_cotangent — no XLA slicing on
+    # lane-hostile layouts), and the whole cotangent fold d_S is ONE
+    # (Bt, 4P=32) @ (4P, 128P) dot at the compute dtype — K is one MXU
+    # tile. History at LEAF shape (bs 256, bf16, v5e): 4 per-slot f32
+    # broadcast dots + 4 VPU multiply-accumulates (the original), then
+    # one full-channel (Bt, 4C=160) dot (2 K-tiles; its dW dot also paid
+    # 2 sublane tiles); XLA-side per-group slicing measured worse than
+    # either (5-way split fusion 0.53 ms/step, group-major transpose
+    # 0.52 ms/step), and a 128-lane-per-group padded layout fed by a
+    # combined (frame, channel) gather cost 0.51 ms/step in the gather —
+    # the permutation-matmul build costs ~0.1 ms for all groups.
+    # Out-of-range frame slots carry zero cotangents by construction
+    # (zero-frame-padded gather in _fused_bwd).
+    dall = dout_ref[0]                             # (Bt, 4·P)
     d_s = jnp.dot(dall, bsel_ref[0], preferred_element_type=jnp.float32)
     # dW in q-space via the MXU instead of per-slot VPU batch reductions:
-    # mjc[j·C + c, l] = Σ_b dall[b, j·C+c] · S[b, l], then the per-lane
-    # channel fold Σ_c mjc[j·C+c, l]·δ_{c, ch0+l%P} is a C-row VPU
-    # reduce (C = 40) — ~3× less VPU work than the former per-slot
-    # (Bt=128)-row reductions, for the same 16 MXU passes.
-    n_chan = dall.shape[-1] // _FRAMES_PER_BLOCK
+    # mjc[j·P + p, l] = Σ_b dall[b, j·P+p] · S[b, l], then the per-lane
+    # pair fold Σ_p mjc[j·P+p, l]·δ_{p, l%P} is a P-row VPU reduce per
+    # slot — ~5× less VPU work than the former full-channel C-row folds,
+    # and the dW dot's M = 4P = 32 is one sublane tile.
     s_c = s.astype(x0.dtype)
     mjc = jax.lax.dot_general(
         dall, s_c, dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32)        # (4·C, 128·P)
-    crow = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 0)
-    pcol = jax.lax.broadcasted_iota(jnp.int32, (n_chan, _POS_BLOCK * np_), 1)
-    selhot = (crow == ch0 + pcol % np_).astype(jnp.float32)  # (C, 128·P)
+        preferred_element_type=jnp.float32)        # (4·P, 128·P)
+    prow = jax.lax.broadcasted_iota(jnp.int32, (np_, _POS_BLOCK * np_), 0)
+    pcol = jax.lax.broadcasted_iota(jnp.int32, (np_, _POS_BLOCK * np_), 1)
+    selhot = (prow == pcol % np_).astype(jnp.float32)  # (P, 128·P)
     dw_segs = [
-        jnp.sum(mjc[j * n_chan:(j + 1) * n_chan] * selhot, axis=0,
-                keepdims=True)
+        jnp.sum(mjc[j * np_:(j + 1) * np_] * selhot, axis=0, keepdims=True)
         for j in range(_FRAMES_PER_BLOCK)]
     q = _sel_index(m)
     dwf_ref[q] = dwf_ref[q] + jnp.concatenate(dw_segs, axis=1)
@@ -469,25 +477,45 @@ def _bwd_kernel(*refs, n_pairs: int, ch0: int, t_len: int, masked: bool):
 _BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
 
 
-def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
+def _group_cotangent(d_all, f_pad, g0, n_pairs):
+    """(M, B, 4·F_pad) slot-expanded cotangent → the group's slot-major
+    (M, B, 4·P) block via ONE exact permutation matmul (every output
+    lane copies exactly one input lane — a single product against 1.0,
+    so there is no rounding at any dtype).
+
+    Measured alternatives at LEAF shape (bs 256, bf16, v5e): XLA-side
+    per-group slicing 0.52-0.53 ms/step (lane-hostile minor-dim-8
+    layouts); a combined (frame, channel) gather into 128-lane-per-group
+    padded segments 0.51 ms/step; full-channel streaming avoided the
+    glue entirely but cost every kernel 2 K/sublane MXU tiles in its
+    cotangent dots (16 of ~164 passes/block). The permutation matmuls
+    for all groups together are ~0.1 ms and ride the MXU."""
+    sel = np.zeros((d_all.shape[-1], _FRAMES_PER_BLOCK * n_pairs),
+                   np.float32)
+    for j in range(_FRAMES_PER_BLOCK):
+        for p in range(n_pairs):
+            sel[j * f_pad + g0 + p, j * n_pairs + p] = 1.0
+    return jnp.dot(d_all, jnp.asarray(sel, d_all.dtype))
+
+
+def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_grp, k,
                    t_len, stride, pad_l, interpret):
-    """One backward pair-group. ``d_all`` is the SHARED slot-expanded
-    cotangent (M, B, 4·F_pad) at the compute dtype — slot-major lane dim
-    4·F (128-friendly), one gather + relayout to build, no per-group XLA
-    work at all; every group's kernel streams the full-channel block and
-    selects its ``ch0``..``ch0+P`` channels via the one-hot folded into
-    its bsel operand (see ``_bwd_kernel``)."""
+    """One backward pair-group. ``d_grp`` is the group's OWN slot-major
+    cotangent (M, B, 4·P) at the compute dtype (lane j·P + p, built by
+    ``_group_cotangent``'s exact permutation matmul) — lane dim 4P = 32
+    equals the array dim, so the dout BlockSpec is legal with no padding
+    and the kernel's cotangent dots stay at one K/sublane MXU tile
+    (see ``_bwd_kernel``)."""
     b = xp.shape[0]
     n_pairs = windows_g.shape[0]
-    n_chan = d_all.shape[-1] // _FRAMES_PER_BLOCK
     bt = b if b <= 128 else 128
 
-    bsel = _build_bwd_selectors(windows_g, stride, pad_l, n_chan,
-                                ch0).astype(xp.dtype)  # (6, 4·C, 128·P)
+    bsel = _build_bwd_selectors(windows_g, stride,
+                                pad_l).astype(xp.dtype)  # (6, 4·P, 128·P)
     slab_w = _FRAMES_PER_BLOCK * _POS_BLOCK * n_pairs
 
     kern = functools.partial(
-        _bwd_kernel, n_pairs=n_pairs, ch0=ch0, t_len=t_len,
+        _bwd_kernel, n_pairs=n_pairs, t_len=t_len,
         masked=t_len % _POS_BLOCK != 0)
     big = (_SLAB_PAD, _POS_BLOCK * n_pairs)
     dtre, dtim, dwf = pl.pallas_call(
@@ -498,11 +526,11 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(big, lambda i, m: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, _FRAMES_PER_BLOCK * n_chan,
+            pl.BlockSpec((1, _FRAMES_PER_BLOCK * n_pairs,
                           _POS_BLOCK * n_pairs),
                          lambda i, m: (_sel_index(m), 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, bt, _FRAMES_PER_BLOCK * n_chan),
+            pl.BlockSpec((1, bt, _FRAMES_PER_BLOCK * n_pairs),
                          lambda i, m: (m, i, 0),
                          memory_space=pltpu.VMEM),
         ],
@@ -520,7 +548,7 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_all, ch0, k,
             jax.ShapeDtypeStruct((6, 1, slab_w), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, bsel, d_all)
+    )(xp, xp, xp, xp, xp, t_re, t_im, bsel, d_grp)
 
     # Toeplitz cotangents returned UNfolded (SLAB_PAD, 128, P) — the
     # caller concatenates all groups/banks and folds once (the fold reads
@@ -649,16 +677,11 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
     fr_safe = np.where(fr_ids < n_frames, fr_ids, n_frames)
     # Slot-expand the output cotangent ONCE for all channels: one
     # 2-D-index gather (B, n_frames+1, F_pad) → (B, M, 4, F_pad), then a
-    # single relayout to the kernels' slot-major (M, B, 4·F_pad) block
-    # layout at the COMPUTE dtype (the cotangent-side matmuls run at the
-    # compute dtype like the dT dots — f32 operands force the MXU's
-    # multipass decomposition). No per-group XLA work follows — each
-    # backward kernel streams the full-channel block and selects its
-    # channels via the one-hot folded into its bsel operand. Alternatives
-    # measured at LEAF shape (bs 256, bf16, v5e): per-group 5-way split
-    # fusion 0.53 ms/step; group-major (G, B, M, 4, P) transpose
-    # 0.52 ms/step; an XLA-side out-of-range where on either 0.09-0.99 ms
-    # — all on lane-hostile minor-dim-8 layouts.
+    # single relayout to the slot-major (M, B, 4·F_pad) layout at the
+    # COMPUTE dtype (the cotangent-side matmuls run at the compute
+    # dtype like the dT dots — f32 operands force the MXU's multipass
+    # decomposition). Each group's kernel then gets its OWN (M, B, 4P)
+    # slot-major block via _group_cotangent's permutation matmul.
     p_grp = _BWD_PAIR_GROUP
     groups = _pair_groups(f, p_grp)
     f_pad = len(groups) * p_grp
@@ -669,12 +692,13 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
         m_blocks, x.shape[0], _FRAMES_PER_BLOCK * f_pad)
 
     d_res, d_ims, d_wins = [], [], []
-    for g0, g1, p in groups:
+    for gi, (g0, g1, p) in enumerate(groups):
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        dr, di, dw = _run_bwd_group(xp, m_blocks, t_re, t_im, win_g, d_all,
-                                    g0, k, t, stride, pad[0], interpret)
+        d_grp = _group_cotangent(d_all, f_pad, g0, p)
+        dr, di, dw = _run_bwd_group(xp, m_blocks, t_re, t_im, win_g, d_grp,
+                                    k, t, stride, pad[0], interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])
         d_wins.append(dw[:g1 - g0])
