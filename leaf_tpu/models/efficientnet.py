@@ -167,6 +167,31 @@ def get_model_params(model_name: str, num_classes: int = 1000,
     return blocks, gp
 
 
+class _PointwiseDense(nn.Module):
+    """A 1x1 conv applied to a (B, C) vector as one MXU dot.
+
+    Numerically identical to ``nn.Conv(features, (1, 1))`` on the
+    (B, 1, 1, C) squeeze-excite tensor, and the parameter tree is kept
+    byte-for-byte compatible (kernel (1, 1, C_in, C_out) + bias (C_out,),
+    same initializers) so orbax checkpoints and ``models/torch_import.py``
+    need no changes. The 2-D operand layout avoids the 8x sublane padding
+    a (B, 1, 1, C) tensor pays on TPU (reference SE: model.py:59-66,111-116).
+    """
+
+    features: int
+    dtype: Any = jnp.float32
+
+    @nn.compact
+    def __call__(self, x: jnp.ndarray) -> jnp.ndarray:  # x: (B, C_in)
+        cin = x.shape[-1]
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(), (1, 1, cin, self.features))
+        bias = self.param("bias", nn.initializers.zeros, (self.features,))
+        x, kernel, bias = nn.dtypes.promote_dtype(
+            x, kernel, bias, dtype=self.dtype)
+        return x @ kernel.reshape(cin, self.features) + bias
+
+
 class MBConvBlock(nn.Module):
     """Mobile inverted bottleneck with SE (reference: model.py:36-140)."""
 
@@ -212,12 +237,12 @@ class MBConvBlock(nn.Module):
         # Squeeze and excitation
         if ba.se_ratio is not None and 0 < ba.se_ratio <= 1:
             squeezed_ch = max(1, int(inp * ba.se_ratio))
-            se = jnp.mean(x, axis=(1, 2), keepdims=True)
-            se = nn.Conv(squeezed_ch, (1, 1), dtype=self.dtype,
-                         name="se_reduce")(se)
+            se = jnp.mean(x, axis=(1, 2))  # (B, C): dense 2-D layout
+            se = _PointwiseDense(squeezed_ch, dtype=self.dtype,
+                                 name="se_reduce")(se)
             se = nn.silu(se)
-            se = nn.Conv(oup, (1, 1), dtype=self.dtype, name="se_expand")(se)
-            x = jax.nn.sigmoid(se) * x
+            se = _PointwiseDense(oup, dtype=self.dtype, name="se_expand")(se)
+            x = jax.nn.sigmoid(se)[:, None, None, :] * x
 
         # Project
         x = nn.Conv(ba.output_filters, (1, 1), use_bias=False,
