@@ -115,9 +115,9 @@ data:
     meta_root: "{root}"
     is_lmdb: False
     in_memory: True
-    train_manifest: "train.csv"
-    val_manifest: "val.csv"
-    test_manifest: "test.csv"
+    train_manifest: "{train_csv}"
+    val_manifest: "{val_csv}"
+    test_manifest: "{test_csv}"
     label_map: lbl_map.json
 """
 
@@ -140,10 +140,14 @@ def main():
     root = args.root or tempfile.mkdtemp(prefix="leaf_convergence_")
     os.makedirs(root, exist_ok=True)
     print(f"dataset/exp root: {root}", file=sys.stderr)
-    make_split(root, "train", args.clips, seed=0, task=args.task)
-    make_split(root, "val", max(args.batch, args.clips // 8), seed=1,
+    # Split names are task-keyed: the cached-split reuse in make_split
+    # matches on row count alone, and multiclass/multilabel splits of the
+    # same --clips would otherwise silently alias in a shared --root.
+    tr, va, te = (f"{n}_{args.task}" for n in ("train", "val", "test"))
+    make_split(root, tr, args.clips, seed=0, task=args.task)
+    make_split(root, va, max(args.batch, args.clips // 8), seed=1,
                task=args.task)
-    make_split(root, "test", max(args.batch, args.clips // 8), seed=2,
+    make_split(root, te, max(args.batch, args.clips // 8), seed=2,
                task=args.task)
     with open(os.path.join(root, "lbl_map.json"), "w") as f:
         json.dump({f"class{i}": i for i in range(N_CLASSES)}, f)
@@ -151,10 +155,15 @@ def main():
     with open(cfg_path, "w") as f:
         f.write(CFG.format(root=root, batch=args.batch,
                            warmup=max(1, args.epochs // 6),
-                           arch=arch, depth=depth, task=args.task))
+                           arch=arch, depth=depth, task=args.task,
+                           train_csv=f"{tr}.csv", val_csv=f"{va}.csv",
+                           test_csv=f"{te}.csv"))
 
     env = dict(os.environ)
-    expdir = os.path.join(root, "exp")
+    # expdir is (arch, task)-keyed for the same reason the splits are:
+    # a reused --root must not alias runs (evaluate.py skips when the
+    # expdir's results.txt already exists, reference test.py:88-91).
+    expdir = os.path.join(root, f"exp_{arch}{depth}_{args.task}")
     cmd = [sys.executable, "train.py", "--cfg_file", cfg_path,
            "--expdir", expdir, "--epochs", str(args.epochs),
            "--num_workers", "2", "--log_steps", "10", "--bf16",
@@ -175,7 +184,7 @@ def main():
     r.check_returncode()
     accs = re.findall(r"val_(?:acc|mAP)[=: ]+([0-9.]+)", r.stdout)
 
-    cmd = [sys.executable, "evaluate.py", "--test_csv_name", "test.csv",
+    cmd = [sys.executable, "evaluate.py", "--test_csv_name", f"{te}.csv",
            "--exp_dir", expdir, "--meta_dir", root,
            "--metrics", args.task, "--separator", "|"]
     if args.platform:

@@ -3,6 +3,7 @@ datasets (manifest + packed), sampler sharding, loader determinism."""
 
 import json
 import os
+import pathlib
 import random
 
 import numpy as np
@@ -248,7 +249,7 @@ class TestDatasets:
 
         root, manifest, lbl_map = wav_dir
         files = pd.read_csv(manifest)["files"].tolist()
-        records = [{"audio": open(f, "rb").read(),
+        records = [{"audio": pathlib.Path(f).read_bytes(),
                     "label": f"class{files.index(f) % 3}",
                     "duration": SR} for f in files[:4]]
         (tmp_path / "blobs").mkdir()
