@@ -31,14 +31,20 @@ How (forward), per grid step (batch-tile i, position-block m):
      partials (Bt, 4·P) (N=4P keeps 4× more MXU output lanes busy than
      per-frame N=P dots) — combined with one segment_sum in XLA.
 
-Backward (custom VJP) saves nothing but the inputs: per tile it recomputes
-OUT/S, folds the output cotangent through the transposed lowpass as ONE
-(Bt, 4P=32) @ (4P, 128P) dot against a per-pattern fused selector (pair
-one-hot ⊙ slot window, see _build_bwd_selectors; the cotangent block is
-the group's own slot-major (M, B, 4P) array, extracted from the shared
-slot-expanded cotangent by one exact permutation matmul — see
-_group_cotangent — so K and the dW dot's M are ONE MXU tile each), forms
-d_OUT = 2·OUT·d_S, and accumulates into VMEM-resident buffers
+Backward (custom VJP): the VJP-forward SAVES the conv outputs OUT_re/
+OUT_im per block at the compute dtype (two extra kernel outputs whose
+HBM writes hide under the forward's MXU time), so the backward never
+re-runs the banded contraction — the in-kernel recompute was ~45% of its
+MXU passes, and dropping the Toeplitz operands from the kernel frees the
+VMEM that capped its pair-group at 8. Per tile it reloads OUT, rebuilds
+S = OUT_re² + OUT_im² in-register (VPU-cheap), folds the output cotangent
+through the transposed lowpass as ONE (Bt, 4P) @ (4P, 128P) dot against a
+per-pattern fused selector (pair one-hot ⊙ slot window, see
+_build_bwd_selectors; the cotangent block is the group's own slot-major
+(M, B, 4P) array, extracted from the shared slot-expanded cotangent by
+one exact permutation matmul — see _group_cotangent — so K and the dW
+dot's M stay at one MXU tile each for P ≤ 16), forms d_OUT = 2·OUT·d_S,
+and accumulates into VMEM-resident buffers
   dT_re/im += Xᵀ @ d_OUT_re/im                     (MXU)
   dW_q[pattern] += chanfold(d_outᵀ @ S)            (MXU + C-row VPU fold)
 after which XLA folds the Toeplitz-structured dT back to dG by diagonal
@@ -47,15 +53,19 @@ cotangent-side matmuls run at the compute dtype (like the dT dots). The
 waveform gradient is NOT produced (the frontend input is the raw
 waveform; with a preceding preemphasis layer use the XLA path instead).
 
-Channel grouping bounds VMEM: the forward runs up to 24 pairs per kernel
-(LEAF's F=40 → two launches [24, 16], zero padding waste; see
-``_FWD_MAX_PAIRS`` for the VMEM accounting), the backward in groups of 8
-(its f32 dT accumulators are 528·128·P) — both at full 128-row MXU batch
-tiles. All window access rides the period-5 offset patterns (_SEL_REPS):
-static per-pattern operands, no dynamic lane slicing anywhere in either
-kernel. The block-Toeplitz bank is gathered ONCE as
-(SLAB_PAD, 128, 2F) and sliced per group; the backward reuses it (and the
-padded waveform) via the VJP residuals instead of rebuilding.
+Channel grouping bounds VMEM: the inference/primal forward runs up to 24
+pairs per kernel (LEAF's F=40 → two launches [24, 16], zero padding
+waste; see ``_fwd_max_pairs`` for the VMEM accounting). The VJP forward
+and the backward share ONE group split at _BWD_PAIR_GROUP=16 pairs
+(F=40 → [16, 16, 8]) — the saved OUT blocks keep the kernels' interleaved
+flat (position r, pair p) lane layout, which cannot be sub-sliced, so the
+two passes must agree; 16 is the largest P whose f32 dT accumulators
+(2 × 640·128·P·4 B ≈ 10.5 MB) still fit VMEM now that the backward
+carries no Toeplitz operands. All window access rides the period-5 offset
+patterns (_SEL_REPS): static per-pattern operands, no dynamic lane
+slicing anywhere in either kernel. The block-Toeplitz bank is gathered
+ONCE as (SLAB_PAD, 128, 2F) and sliced per forward group; the backward
+needs neither it nor the waveform re-fetch beyond the dT dots' X chunks.
 
 Capability parity: this op computes exactly
 GaussianLowPass(SquaredModulus(GaborConv1d(x))) of the reference
@@ -312,12 +322,24 @@ def _fold_bwd_windows(dwf: jnp.ndarray, k: int, stride: int,
     return acc.T
 
 
-def _fwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
-    (x0, x1, x2, x3, x4, tre_ref, tim_ref, sel_ref, out_ref) = refs
+def _fwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool,
+                save_out: bool):
+    if save_out:
+        (x0, x1, x2, x3, x4, tre_ref, tim_ref, sel_ref, out_ref,
+         outre_ref, outim_ref) = refs
+    else:
+        (x0, x1, x2, x3, x4, tre_ref, tim_ref, sel_ref, out_ref) = refs
     m = pl.program_id(1)
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
     out_re = _banded_dot(xc, tre_ref, n_pairs)
     out_im = _banded_dot(xc, tim_ref, n_pairs)
+    if save_out:
+        # VJP path: persist the conv outputs at the compute dtype so the
+        # backward skips the banded recompute (~45% of its MXU passes).
+        # The writes are async block DMA that hides under this kernel's
+        # own MXU time. f32 runs save f32 — bit-identical to recompute.
+        outre_ref[0] = out_re.astype(outre_ref.dtype)
+        outim_ref[0] = out_im.astype(outim_ref.dtype)
     s = out_re * out_re + out_im * out_im         # (Bt, 128·P) flat
     if masked:  # tail positions ≥ t_len exist only when 128 ∤ t_len
         s = s * _pos_mask_flat(m, t_len, n_pairs)
@@ -331,7 +353,7 @@ def _fwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
 
 
 def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
-                   pad_l, interpret):
+                   pad_l, interpret, save_out=False):
     b = xp.shape[0]
     n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
@@ -340,8 +362,26 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
     sel = _build_selectors(windows_g, stride, pad_l)  # (6, 128·P, 4·P)
 
     kern = functools.partial(_fwd_kernel, n_pairs=n_pairs, t_len=t_len,
-                             masked=t_len % _POS_BLOCK != 0)
-    return pl.pallas_call(
+                             masked=t_len % _POS_BLOCK != 0,
+                             save_out=save_out)
+    # M leads (like the input slabs) so each block's last two dims are
+    # (bt, lanes) — Mosaic requires those to be 8/128-divisible or equal
+    # to the array dims; a (bt, 1, lanes) layout would put the 1-of-M in
+    # the sublane slot and fail to lower.
+    out_specs = [pl.BlockSpec(
+        (1, bt, _FRAMES_PER_BLOCK * n_pairs),
+        lambda i, m: (m, i, 0), memory_space=pltpu.VMEM)]
+    out_shape = [jax.ShapeDtypeStruct(
+        (m_blocks, b, _FRAMES_PER_BLOCK * n_pairs), jnp.float32)]
+    if save_out:
+        big_blk = pl.BlockSpec((1, bt, _POS_BLOCK * n_pairs),
+                               lambda i, m: (m, i, 0),
+                               memory_space=pltpu.VMEM)
+        big_shp = jax.ShapeDtypeStruct(
+            (m_blocks, b, _POS_BLOCK * n_pairs), xp.dtype)
+        out_specs += [big_blk, big_blk]
+        out_shape += [big_shp, big_shp]
+    res = pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
         in_specs=_x_specs(bt) + [
@@ -354,18 +394,13 @@ def _run_fwd_group(xp, m_blocks, t_re, t_im, windows_g, t_len, stride,
                          lambda i, m: (_sel_index(m), 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        # M leads (like the input slabs) so the block's last two dims are
-        # (bt, 4·P) — Mosaic requires those to be 8/128-divisible or equal
-        # to the array dims; a (bt, 1, 4P) layout would put the 1-of-M in
-        # the sublane slot and fail to lower.
-        out_specs=pl.BlockSpec(
-            (1, bt, _FRAMES_PER_BLOCK * n_pairs),
-            lambda i, m: (m, i, 0), memory_space=pltpu.VMEM),
-        out_shape=jax.ShapeDtypeStruct(
-            (m_blocks, b, _FRAMES_PER_BLOCK * n_pairs), jnp.float32),
+        out_specs=out_specs if save_out else out_specs[0],
+        out_shape=out_shape if save_out else out_shape[0],
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, sel).swapaxes(0, 1).reshape(
+    )(xp, xp, xp, xp, xp, t_re, t_im, sel)
+    part = (res[0] if save_out else res).swapaxes(0, 1).reshape(
         b, m_blocks, _FRAMES_PER_BLOCK, n_pairs)
+    return (part, res[1], res[2]) if save_out else part
 
 
 def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
@@ -385,7 +420,7 @@ def _combine_partials(part, m_blocks, stride, pad_l, n_frames):
 # --------------------------------------------------------------- backward
 
 def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
-    (x0, x1, x2, x3, x4, tre_ref, tim_ref, bsel_ref, dout_ref,
+    (x0, x1, x2, x3, x4, outre_ref, outim_ref, bsel_ref, dout_ref,
      dtre_ref, dtim_ref, dwf_ref) = refs
     i = pl.program_id(0)
     m = pl.program_id(1)
@@ -397,8 +432,13 @@ def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
         dwf_ref[:] = jnp.zeros_like(dwf_ref)
 
     xc = [x0[:], x1[:], x2[:], x3[:], x4[:]]      # 5 × (Bt, 128)
-    out_re = _banded_dot(xc, tre_ref, n_pairs)
-    out_im = _banded_dot(xc, tim_ref, n_pairs)
+    # Conv outputs come from the VJP-forward's saved residual blocks
+    # (same (m, i) BlockSpec indexing as the forward wrote them) instead
+    # of an in-kernel banded-dot recompute — that recompute was 66 of the
+    # backward's ~148 MXU passes per block, and dropping the Toeplitz
+    # operands it needed is what lets the pair-group double to 16.
+    out_re = outre_ref[0].astype(jnp.float32)
+    out_im = outim_ref[0].astype(jnp.float32)
     s = out_re * out_re + out_im * out_im
     if masked:  # tail positions ≥ t_len exist only when 128 ∤ t_len
         s = s * _pos_mask_flat(m, t_len, n_pairs)
@@ -409,7 +449,7 @@ def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
     # group's OWN slot-major (Bt, 4P) cotangent (built by one exact
     # permutation matmul in _group_cotangent — no XLA slicing on
     # lane-hostile layouts), and the whole cotangent fold d_S is ONE
-    # (Bt, 4P=32) @ (4P, 128P) dot at the compute dtype — K is one MXU
+    # (Bt, 4P ≤ 64) @ (4P, 128P) dot at the compute dtype — K is one MXU
     # tile. History at LEAF shape (bs 256, bf16, v5e): 4 per-slot f32
     # broadcast dots + 4 VPU multiply-accumulates (the original), then
     # one full-channel (Bt, 4C=160) dot (2 K-tiles; its dW dot also paid
@@ -426,7 +466,7 @@ def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
     # mjc[j·P + p, l] = Σ_b dall[b, j·P+p] · S[b, l], then the per-lane
     # pair fold Σ_p mjc[j·P+p, l]·δ_{p, l%P} is a P-row VPU reduce per
     # slot — ~5× less VPU work than the former full-channel C-row folds,
-    # and the dW dot's M = 4P = 32 is one sublane tile.
+    # and the dW dot's M = 4P ≤ 64 is one sublane tile.
     s_c = s.astype(x0.dtype)
     mjc = jax.lax.dot_general(
         dall, s_c, dimension_numbers=(((0,), (0,)), ((), ())),
@@ -474,7 +514,15 @@ def _bwd_kernel(*refs, n_pairs: int, t_len: int, masked: bool):
         xc[-1].T, d_im[:, tl:], preferred_element_type=jnp.float32)
 
 
-_BWD_PAIR_GROUP = 8  # small P → small f32 dT accumulators → bt=128 fits
+def _vjp_pair_group(dtype) -> int:
+    """Shared VJP fwd/bwd pair-group size (the saved OUT blocks keep the
+    kernels' interleaved (r, p) lane layout, so both passes must split
+    channels identically). bf16: 16 — the backward's f32 dT accumulators
+    (2 × 640·128·16·4 B ≈ 10.5 MB) + bf16 OUT/selector blocks fit VMEM
+    now that it carries no Toeplitz operands. f32 (the parity path): 8 —
+    the VJP-forward still holds the f32 Toeplitz operands AND the f32 OUT
+    write buffers."""
+    return 16 if dtype == jnp.bfloat16 else 8
 
 
 def _group_cotangent(d_all, f_pad, g0, n_pairs):
@@ -498,14 +546,16 @@ def _group_cotangent(d_all, f_pad, g0, n_pairs):
     return jnp.dot(d_all, jnp.asarray(sel, d_all.dtype))
 
 
-def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_grp, k,
-                   t_len, stride, pad_l, interpret):
-    """One backward pair-group. ``d_grp`` is the group's OWN slot-major
-    cotangent (M, B, 4·P) at the compute dtype (lane j·P + p, built by
-    ``_group_cotangent``'s exact permutation matmul) — lane dim 4P = 32
-    equals the array dim, so the dout BlockSpec is legal with no padding
-    and the kernel's cotangent dots stay at one K/sublane MXU tile
-    (see ``_bwd_kernel``)."""
+def _run_bwd_group(xp, m_blocks, windows_g, out_re_sv, out_im_sv, d_grp,
+                   k, t_len, stride, pad_l, interpret):
+    """One backward pair-group. ``out_re_sv``/``out_im_sv`` are the VJP-
+    forward's saved (M, B, 128·P) conv-output blocks for THIS group (same
+    BlockSpec indexing both passes). ``d_grp`` is the group's OWN
+    slot-major cotangent (M, B, 4·P) at the compute dtype (lane j·P + p,
+    built by ``_group_cotangent``'s exact permutation matmul) — lane dim
+    4P ≤ 64 equals the array dim, so the dout BlockSpec is legal with no
+    padding and the kernel's cotangent dots stay at one K/sublane MXU
+    tile (see ``_bwd_kernel``)."""
     b = xp.shape[0]
     n_pairs = windows_g.shape[0]
     bt = b if b <= 128 else 128
@@ -518,14 +568,15 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_grp, k,
         _bwd_kernel, n_pairs=n_pairs, t_len=t_len,
         masked=t_len % _POS_BLOCK != 0)
     big = (_SLAB_PAD, _POS_BLOCK * n_pairs)
+    out_blk = pl.BlockSpec((1, bt, _POS_BLOCK * n_pairs),
+                           lambda i, m: (m, i, 0),
+                           memory_space=pltpu.VMEM)
     dtre, dtim, dwf = pl.pallas_call(
         kern,
         grid=(b // bt, m_blocks),
         in_specs=_x_specs(bt) + [
-            pl.BlockSpec(big, lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(big, lambda i, m: (0, 0),
-                         memory_space=pltpu.VMEM),
+            out_blk,
+            out_blk,
             pl.BlockSpec((1, _FRAMES_PER_BLOCK * n_pairs,
                           _POS_BLOCK * n_pairs),
                          lambda i, m: (_sel_index(m), 0, 0),
@@ -548,7 +599,7 @@ def _run_bwd_group(xp, m_blocks, t_re, t_im, windows_g, d_grp, k,
             jax.ShapeDtypeStruct((6, 1, slab_w), jnp.float32),
         ],
         interpret=interpret,
-    )(xp, xp, xp, xp, xp, t_re, t_im, bsel, d_grp)
+    )(xp, xp, xp, xp, xp, out_re_sv, out_im_sv, bsel, d_grp)
 
     # Toeplitz cotangents returned UNfolded (SLAB_PAD, 128, P) — the
     # caller concatenates all groups/banks and folds once (the fold reads
@@ -575,10 +626,10 @@ def _prep(x, pad):
 
 # Pair-group sizes are multiples of 8 so every static lane slice the
 # kernels take (slot slabs at j·128·P, the tail dots at _TAIL_POS·P=112·P)
-# lands on a 128-lane boundary. Forward group size: see _fwd_max_pairs
-# (VMEM is T_re/T_im at 2×_SLAB_PAD·128·P at the compute dtype plus the
-# kernel's live f32 (Bt, 128·P) intermediates). The backward is capped at
-# 8 by its f32 dT accumulators.
+# lands on a 128-lane boundary. Primal forward group size: see
+# _fwd_max_pairs (VMEM is T_re/T_im at 2×_SLAB_PAD·128·P at the compute
+# dtype plus the kernel's live f32 (Bt, 128·P) intermediates). The VJP
+# fwd/bwd pair share one split: see _vjp_pair_group.
 
 
 def _pair_groups(f, max_pairs):
@@ -616,7 +667,8 @@ def fused_gabor_sqmod_lowpass(x, gabor, windows, stride: int = 160,
 
     Returns (B, n_frames, F) float32, n_frames = (T+pl+pr−K)//stride + 1.
     """
-    out, _ = _fused_fwd(x, gabor, windows, stride, pad, interpret)
+    out, _ = _fused_fwd_impl(x, gabor, windows, stride, pad, interpret,
+                             save_out=False)
     return out
 
 
@@ -640,30 +692,47 @@ def _fwd_max_pairs(dtype) -> int:
     return 24 if dtype == jnp.bfloat16 else 16
 
 
-def _fused_fwd(x, gabor, windows, stride, pad, interpret):
+def _fused_fwd_impl(x, gabor, windows, stride, pad, interpret, save_out):
+    """Forward at two group splits: the primal/inference path
+    (save_out=False) uses the VMEM-maximal _fwd_max_pairs split and saves
+    nothing; the VJP path (save_out=True) uses the backward's
+    _vjp_pair_group split and additionally writes each group's conv
+    outputs OUT_re/OUT_im as residual blocks — the saved blocks keep the
+    kernels' interleaved (r, p) lane layout, which cannot be sub-sliced,
+    so the two passes must share one split."""
     _check_geometry(gabor, stride, pad)
     xp, t, m_blocks = _prep(x, pad)
     n_frames = lowpass_frames_out(t, stride, gabor.shape[0], pad)
     f = gabor.shape[1] // 2
     tfull = _toeplitz_full(gabor, x.dtype)  # one gather for all channels
-    outs = []
-    for g0, g1, p in _pair_groups(f, _fwd_max_pairs(x.dtype)):
+    max_pairs = (_vjp_pair_group(x.dtype) if save_out
+                 else _fwd_max_pairs(x.dtype))
+    outs, saved = [], []
+    for g0, g1, p in _pair_groups(f, max_pairs):
         t_re = _slice_toeplitz(tfull, g0, g1, p)
         t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
-        part = _run_fwd_group(xp, m_blocks, t_re, t_im, win_g, t, stride,
-                              pad[0], interpret)
+        res = _run_fwd_group(xp, m_blocks, t_re, t_im, win_g, t, stride,
+                             pad[0], interpret, save_out=save_out)
+        part = res[0] if save_out else res
+        if save_out:
+            saved.append((res[1], res[2]))
         outs.append(_combine_partials(part, m_blocks, stride, pad[0],
                                       n_frames)[..., :g1 - g0])
     out = jnp.concatenate(outs, axis=-1)
-    # Residuals carry the padded waveform + Toeplitz bank so the backward
-    # re-runs neither the pad nor the Toeplitz build (pure recompute of
-    # the matmuls stays in-kernel where it is MXU-cheap).
-    return out, (x, xp, tfull, gabor, windows)
+    # Residuals: the padded waveform (for the backward's dT dots) and the
+    # per-group saved conv outputs (so the backward recomputes nothing —
+    # neither the Toeplitz bank nor the banded contraction).
+    return out, (x, xp, gabor, windows, saved)
+
+
+def _fused_fwd(x, gabor, windows, stride, pad, interpret):
+    return _fused_fwd_impl(x, gabor, windows, stride, pad, interpret,
+                           save_out=True)
 
 
 def _fused_bwd(stride, pad, interpret, res, d_out):
-    x, xp, tfull, gabor, windows = res
+    x, xp, gabor, windows, saved = res
     k, c = gabor.shape
     f = c // 2
     t = x.shape[1]
@@ -682,7 +751,7 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
     # dtype like the dT dots — f32 operands force the MXU's multipass
     # decomposition). Each group's kernel then gets its OWN (M, B, 4P)
     # slot-major block via _group_cotangent's permutation matmul.
-    p_grp = _BWD_PAIR_GROUP
+    p_grp = _vjp_pair_group(xp.dtype)
     groups = _pair_groups(f, p_grp)
     f_pad = len(groups) * p_grp
     d0 = d_out.astype(xp.dtype)
@@ -693,12 +762,12 @@ def _fused_bwd(stride, pad, interpret, res, d_out):
 
     d_res, d_ims, d_wins = [], [], []
     for gi, (g0, g1, p) in enumerate(groups):
-        t_re = _slice_toeplitz(tfull, g0, g1, p)
-        t_im = _slice_toeplitz(tfull, f + g0, f + g1, p)
         win_g = _pad_pairs(windows[g0:g1], p)
         d_grp = _group_cotangent(d_all, f_pad, g0, p)
-        dr, di, dw = _run_bwd_group(xp, m_blocks, t_re, t_im, win_g, d_grp,
-                                    k, t, stride, pad[0], interpret)
+        out_re_sv, out_im_sv = saved[gi]
+        dr, di, dw = _run_bwd_group(xp, m_blocks, win_g, out_re_sv,
+                                    out_im_sv, d_grp, k, t, stride,
+                                    pad[0], interpret)
         d_res.append(dr[..., :g1 - g0])
         d_ims.append(di[..., :g1 - g0])
         d_wins.append(dw[:g1 - g0])
