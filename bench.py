@@ -90,16 +90,31 @@ def _healthy_tflops(kind: str):
 
 # Trace-predicted pipelined wall ms/step for the DEFAULT headline config
 # (full train step, bs 256, bf16 compute, k=1): device-busy from
-# scripts/step_profile.py plus the measured ~1.5 ms pipelined dispatch gap
+# scripts/step_profile.py plus the measured pipelined dispatch gap
 # (BASELINE.md full-step attribution). The headline capture cross-checks
 # its implied ms/step against this floor and retries (after a health
 # re-probe) instead of recording a number the repo's own traces say is
 # impossible for a healthy run — round 3's official capture was 45% below
-# the floor and nothing flagged it.
-_EXPECTED_STEP_MS = {
+# the floor and nothing flagged it. The floor is READ FROM THE ARTIFACT
+# scripts/step_profile.py records in baseline_measured.json (so kernel
+# wins tighten the gate automatically when the profile is re-run); the
+# hand table below is only the fallback for hosts that never profiled.
+PIPELINED_GAP_MS = 1.0  # measured per-step dispatch gap, pipelined regime
+_EXPECTED_STEP_MS_FALLBACK = {
     "TPU v5 lite": 12.1,  # round 4: 11.10 ms busy + ~1 ms pipelined gap
 }
 _FLOOR_SLACK = 1.20  # accept up to +20% over the trace-predicted wall
+
+
+def _expected_step_ms(kind: str):
+    """Trace-predicted wall ms/step for the headline config on this chip:
+    the artifact recorded by scripts/step_profile.py when available (the
+    self-tightening path), else the hand fallback table."""
+    try:
+        rec = json.load(open(BASELINE_FILE))
+        return float(rec["trace_predicted"][kind]["step_wall_ms"])
+    except (OSError, KeyError, ValueError, TypeError):
+        return _EXPECTED_STEP_MS_FALLBACK.get(kind)
 
 
 _PROBE_CHAIN = 24  # matmuls per pipelined probe call (~6.6 TFLOP)
@@ -242,7 +257,8 @@ def check_fused_parity(batch: int = 64):
     return fwd_diff, grad_rel
 
 
-def _flagship_cfg(bf16: bool, remat: bool = False) -> dict:
+def _flagship_cfg(bf16: bool, remat: bool = False,
+                  fused: bool = True) -> dict:
     import copy
     from __graft_entry__ import FLAGSHIP_CFG
     cfg = copy.deepcopy(FLAGSHIP_CFG)
@@ -253,13 +269,18 @@ def _flagship_cfg(bf16: bool, remat: bool = False) -> dict:
         cfg["model"]["compute_dtype"] = "bfloat16"
     if remat:
         cfg["model"]["remat"] = True
+    if not fused:
+        # the plain-XLA frontend path (lax.conv + scan PCEN) — the honest
+        # same-chip denominator for the fused kernel's speedup claims
+        cfg["frontend"]["use_fused_kernel"] = "off"
     return cfg
 
 
 def bench_ours(batch: int = BATCH, steps: int = STEPS,
                warmup: int = WARMUP, frontend_only: bool = False,
                inference_only: bool = False, bf16: bool = False,
-               steps_per_call: int = 1, remat: bool = False):
+               steps_per_call: int = 1, remat: bool = False,
+               fused: bool = True, clip_seconds: float = 1.0):
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -267,16 +288,24 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
     from leaf_tpu.models import Classifier
     from leaf_tpu.training import TrainState, make_train_step, optimization_helper
 
-    cfg = _flagship_cfg(bf16, remat)
+    # clip_seconds covers the reference's three workload shapes: 1 s SCv2
+    # (the headline), 3 s VoxCeleb (voxceleb cfgs), 10 s AudioSet
+    # (/root/reference/cfgs/audioset/efficientnet-b0-leaf-default.cfg:23).
+    t_samples = int(SR * clip_seconds)
+    cfg = _flagship_cfg(bf16, remat, fused)
     rng0 = np.random.RandomState(0)
     n_bufs = min(8, steps)
-    xs_list = [jnp.asarray(rng0.randn(batch, SR).astype("float32") * 0.1)
-               for _ in range(n_bufs)]
+    if batch * t_samples * 4 * n_bufs > 2 ** 31:  # cap staged-buffer HBM
+        n_bufs = max(2, 2 ** 31 // (batch * t_samples * 4))
+    xs_list = [jnp.asarray(
+        rng0.randn(batch, t_samples).astype("float32") * 0.1)
+        for _ in range(n_bufs)]
 
     if frontend_only:
         # frontend fwd+bwd in isolation (the BASELINE.md north-star metric)
         from leaf_tpu.frontend import Leaf
-        model = Leaf(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32)
+        model = Leaf(compute_dtype=jnp.bfloat16 if bf16 else jnp.float32,
+                     use_fused_kernel="auto" if fused else "off")
         params = model.init(jax.random.PRNGKey(0), xs_list[0])
 
         @jax.jit
@@ -325,7 +354,7 @@ def bench_ours(batch: int = BATCH, steps: int = STEPS,
         k = steps_per_call
         multi = make_train_multistep(k, "multiclass", donate=True)
         xs_stacked = [jnp.asarray(
-            rng0.randn(k, batch, SR).astype("float32") * 0.1)
+            rng0.randn(k, batch, t_samples).astype("float32") * 0.1)
             for _ in range(2)]
         ys_stacked = jnp.tile(ys, (k, 1))
         n_calls = max(1, steps // k)
@@ -541,6 +570,9 @@ def main():
                         "lines; not the driver headline)")
     p.add_argument("--platform", type=str, default=None)
     p.add_argument("--batch", type=int, default=BATCH)
+    p.add_argument("--clip_seconds", type=float, default=1.0,
+                   help="clip length in seconds at 16 kHz: 1 (SCv2 "
+                        "headline), 3 (VoxCeleb recipes), 10 (AudioSet)")
     p.add_argument("--steps", type=int, default=STEPS)
     p.add_argument("--steps-per-call", type=int, default=1,
                    help="fuse K optimizer steps per dispatch via lax.scan "
@@ -550,6 +582,9 @@ def main():
                    help="rematerialize the EffNet MBConv blocks in the "
                         "backward (cfg model.remat) — A/B for the saved-"
                         "activation HBM traffic")
+    p.add_argument("--skip-ab", action="store_true",
+                   help="skip the same-session fused-vs-XLA and bf16-vs-"
+                        "f32 A/B ratios recorded with the headline")
     p.add_argument("--health", action="store_true",
                    help="only run the tunnel health probe and print it")
     p.add_argument("--skip-health", action="store_true",
@@ -627,8 +662,9 @@ def main():
     import sys
     expected_ms = None
     if (platform == "tpu" and not args.frontend_only and not args.inference
-            and bf16 and args.steps_per_call == 1 and args.batch == BATCH):
-        expected_ms = _EXPECTED_STEP_MS.get(jax.devices()[0].device_kind)
+            and bf16 and args.steps_per_call == 1 and args.batch == BATCH
+            and args.clip_seconds == 1.0):
+        expected_ms = _expected_step_ms(jax.devices()[0].device_kind)
     attempts, max_attempts = 0, 3
     rate = 0.0
     while True:
@@ -636,7 +672,8 @@ def main():
         rate = max(rate, bench_ours(
             args.batch, args.steps, frontend_only=args.frontend_only,
             inference_only=args.inference, bf16=bf16,
-            steps_per_call=args.steps_per_call, remat=args.remat))
+            steps_per_call=args.steps_per_call, remat=args.remat,
+            clip_seconds=args.clip_seconds))
         implied_ms = args.batch / rate * 1e3
         if (expected_ms is None or attempts >= max_attempts
                 or implied_ms <= expected_ms * _FLOOR_SLACK
@@ -654,6 +691,40 @@ def main():
               f"mid-capture; re-probing health and retrying",
               file=sys.stderr)
         probe_tflops = tunnel_health_probe(max_wait_s=args.health_wait)
+
+    # Same-session engineering ratios (the honest ones): the torch-CPU
+    # ``vs_baseline`` below compares across hardware; these compare the
+    # fused kernel against the plain-XLA path and bf16 against f32 ON THE
+    # SAME CHIP in the same capture session, so the recorded JSON carries
+    # the numbers that substantiate the kernel, not just the cross-
+    # hardware vanity ratio.
+    ab = {}
+    if (expected_ms is not None and not args.skip_ab
+            and implied_ms <= expected_ms * _FLOOR_SLACK):
+        ab_steps = min(args.steps, 12)  # XLA path is ~4× slower; keep short
+        print("A/B: timing the plain-XLA frontend path (same chip/session)",
+              file=sys.stderr)
+        xla_rate = bench_ours(args.batch, ab_steps, bf16=True, fused=False)
+        print("A/B: timing f32 compute (same chip/session)", file=sys.stderr)
+        f32_rate = bench_ours(args.batch, ab_steps, bf16=False)
+        # Frontend-only pair: the kernel's own speedup, undiluted by the
+        # backbone/optimizer share of the step (this is where the README
+        # table's ~4.6× lives).
+        print("A/B: frontend-only fused vs XLA (same chip/session)",
+              file=sys.stderr)
+        fe_fused = bench_ours(args.batch, ab_steps, bf16=True,
+                              frontend_only=True)
+        fe_xla = bench_ours(args.batch, ab_steps, bf16=True,
+                            frontend_only=True, fused=False)
+        ab = {
+            "xla_path_clips_per_sec": round(xla_rate, 1),
+            "fused_over_xla": round(rate / xla_rate, 2),
+            "frontend_fused_clips_per_sec": round(fe_fused, 1),
+            "frontend_xla_clips_per_sec": round(fe_xla, 1),
+            "frontend_fused_over_xla": round(fe_fused / fe_xla, 2),
+            "f32_clips_per_sec": round(f32_rate, 1),
+            "bf16_over_f32": round(rate / f32_rate, 2),
+        }
 
     baseline = 0.0
     if os.path.exists(BASELINE_FILE):
@@ -673,10 +744,13 @@ def main():
         "metric": f"{metric}_{platform}_bs{args.batch}"
                   + ("_bf16" if bf16 else "_f32")
                   + (f"_k{args.steps_per_call}"
-                     if args.steps_per_call > 1 else ""),
+                     if args.steps_per_call > 1 else "")
+                  + (f"_{args.clip_seconds:g}s"
+                     if args.clip_seconds != 1.0 else ""),
         "value": round(rate, 2),
         "unit": "clips/s",
         "vs_baseline": round(rate / baseline, 3) if baseline else 0.0,
+        **ab,
     }
     if probe_tflops is not None:
         line["device_health_tflops"] = probe_tflops

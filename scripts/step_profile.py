@@ -35,7 +35,7 @@ SR = 16000
 
 
 def build_programs(batch: int, bf16: bool = True,
-                   arch: str = "efficientnet:b0"):
+                   arch: str = "efficientnet:b0", t_samples: int = SR):
     """(train_step_fn, frontend_fn, infer_fn) closures over fresh buffers —
     each takes an input batch so the tunnel cannot memoize repeats."""
     from bench import _flagship_cfg
@@ -49,7 +49,7 @@ def build_programs(batch: int, bf16: bool = True,
     cfg["model"]["arch"] = a
     cfg["model"]["model_depth"] = int(depth) if depth.isdigit() else depth
     model = Classifier(cfg=cfg)
-    x0 = jnp.zeros((batch, SR), jnp.float32)
+    x0 = jnp.zeros((batch, t_samples), jnp.float32)
     variables = jax.jit(model.init, static_argnames=("train",))(
         {"params": jax.random.PRNGKey(0)}, x0, train=False)
     tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=100,
@@ -201,6 +201,9 @@ def report(title, agg, n_execs, top=40):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--clip_seconds", type=float, default=1.0,
+                    help="clip length in seconds at 16 kHz (3 = VoxCeleb "
+                         "shape, 10 = AudioSet shape)")
     ap.add_argument("--steps", type=int, default=8)
     ap.add_argument("--top", type=int, default=40)
     ap.add_argument("--f32", action="store_true")
@@ -216,10 +219,12 @@ def main():
         jax.config.update("jax_platforms", args.platform)
 
     rng = np.random.RandomState(0)
-    xs = [jnp.asarray(rng.randn(args.batch, SR).astype("float32") * 0.1)
-          for _ in range(args.steps)]
+    t_samples = int(SR * args.clip_seconds)
+    xs = [jnp.asarray(
+        rng.randn(args.batch, t_samples).astype("float32") * 0.1)
+        for _ in range(args.steps)]
     run_train, run_frontend, run_infer = build_programs(
-        args.batch, bf16=not args.f32, arch=args.arch)
+        args.batch, bf16=not args.f32, arch=args.arch, t_samples=t_samples)
 
     t_fe = report("frontend fwd+bwd",
                   parse_trace(trace_program(run_frontend, xs, "/tmp/tr_fe")),
@@ -233,6 +238,32 @@ def main():
     print(f"\ncross-check: step {t_step:.3f} ms vs frontend {t_fe:.3f} "
           f"+ (backbone fwd+bwd + optimizer) {t_step - t_fe:.3f} ms; "
           f"full-model fwd (incl. frontend fwd) {t_inf:.3f} ms")
+
+    # Record the trace-predicted step times for the DEFAULT headline config
+    # so bench.py's floor cross-check derives from a measured artifact
+    # instead of a hand-pinned constant (which goes stale-slow after every
+    # kernel win and re-admits degraded captures — round 3's failure mode).
+    dev = jax.devices()[0]
+    if (dev.platform == "tpu" and args.batch == 256 and not args.f32
+            and args.arch == "efficientnet:b0"):
+        import datetime
+        from bench import BASELINE_FILE, PIPELINED_GAP_MS
+        rec = {}
+        if os.path.exists(BASELINE_FILE):
+            rec = json.load(open(BASELINE_FILE))
+        rec.setdefault("trace_predicted", {})[dev.device_kind] = {
+            "step_busy_ms": round(t_step, 3),
+            "frontend_fwdbwd_busy_ms": round(t_fe, 3),
+            "inference_busy_ms": round(t_inf, 3),
+            "step_wall_ms": round(t_step + PIPELINED_GAP_MS, 3),
+            "recorded_utc": datetime.datetime.now(
+                datetime.timezone.utc).isoformat(timespec="seconds"),
+        }
+        json.dump(rec, open(BASELINE_FILE, "w"), indent=2)
+        print(f"recorded trace-predicted step wall "
+              f"{t_step + PIPELINED_GAP_MS:.2f} ms (busy {t_step:.2f} + "
+              f"pipelined gap {PIPELINED_GAP_MS}) for '{dev.device_kind}' "
+              f"in {BASELINE_FILE}")
 
 
 if __name__ == "__main__":
