@@ -32,6 +32,7 @@ jax.config.update("jax_platforms", "cpu")
 _SLOW_FILES = {
     "test_multihost_train.py",      # 2-proc jax.distributed subprocesses
     "test_multistep_cli.py",        # train.py CLI end-to-end
+    "test_bn_recal_cli.py",         # train.py CLI end-to-end
     "test_preemption.py",           # spawns train.py, SIGTERMs it
     "test_evaluate.py",             # evaluate.py CLI end-to-end
     "test_efficientnet_parity.py",  # effnet CPU compiles + torch Adam steps

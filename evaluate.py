@@ -42,6 +42,15 @@ def parse_args():
                         "(default: all). An improvement over the reference's "
                         "single-core batch_size=1 test.py — AudioSet-scale "
                         "test sets keep the whole mesh busy.")
+    p.add_argument("--bn_recalibrate", type=int, default=0, metavar="N",
+                   help="before scoring, re-estimate the BatchNorm running "
+                        "statistics from N train-manifest batches with "
+                        "frozen parameters (momentum 0.99 lags short runs; "
+                        "~400 batches recover 98%% of the gap). 0 = off.")
+    p.add_argument("--train_csv_name", type=str, default="train.csv",
+                   help="train manifest (under --meta_dir) to draw "
+                        "--bn_recalibrate batches from")
+    p.add_argument("--recal_batch_size", type=int, default=256)
     return p.parse_args()
 
 
@@ -117,6 +126,44 @@ def main(args):
         state = state.replace(
             params=shard_params(mesh, state.params),
             batch_stats=shard_params(mesh, state.batch_stats))
+
+    if args.bn_recalibrate > 0:
+        # Fix stale running stats post hoc (the checkpoint's params may be
+        # far ahead of its momentum-0.99 BN statistics — see
+        # training/bn_recalibrate.py): frozen-param train-mode passes over
+        # random train-manifest crops, peak-normalized like training.
+        from leaf_tpu.data import setup_dataloaders
+        from leaf_tpu.data.device_augment import peak_normalize
+        from leaf_tpu.data.transforms import leaf_host_crop_transforms
+        from leaf_tpu.training.bn_recalibrate import recalibrate_batch_stats
+
+        tr_clip = int(float(ac.get("random_clip_size", 1.0)) * sr)
+        recal_set = RawWaveformDataset(
+            os.path.join(args.meta_dir, args.train_csv_name),
+            os.path.join(args.meta_dir, "lbl_map.json"),
+            ac, mode=args.metrics,
+            transform=leaf_host_crop_transforms(True, tr_clip),
+            delimiter=args.separator)
+        recal_loader, _ = setup_dataloaders(
+            recal_set, None, args.recal_batch_size, target_len=tr_clip,
+            multiclass=args.metrics == "multiclass", num_workers=2,
+            need_val=False)
+
+        def recal_batches(n):
+            done = 0
+            while done < n:
+                for bx, _ in iter(recal_loader):
+                    yield jnp.asarray(bx)
+                    done += 1
+                    if done >= n:
+                        return
+
+        print(f"recalibrating BN stats on {args.bn_recalibrate} batches "
+              f"of {args.recal_batch_size} from {args.train_csv_name}")
+        state = recalibrate_batch_stats(
+            state, recal_batches(args.bn_recalibrate),
+            jax.random.PRNGKey(0),
+            preprocess=lambda _, x: peak_normalize(x))
 
     @jax.jit
     def forward(params, batch_stats, x):

@@ -63,6 +63,22 @@ def test_evaluate_writes_results_and_skips_if_present(trained_exp):
     assert "skipping" in res2.stdout, res2.stdout[-2000:]
     assert open(res_path).read() == body  # unchanged
 
+    # --bn_recalibrate N: pre-eval BN-statistics re-estimation from the
+    # train manifest (frozen params). Reuses the fixture's checkpoint; the
+    # tiny 1-epoch model's accuracy may move, but the flow must complete
+    # and still write a well-formed results row.
+    os.remove(res_path)
+    res3 = subprocess.run(args + ["--bn_recalibrate", "2",
+                                  "--recal_batch_size", "4"],
+                          capture_output=True, text=True, timeout=420,
+                          env=env, cwd=REPO)
+    assert res3.returncode == 0, res3.stdout[-3000:] + res3.stderr[-2000:]
+    assert "recalibrating BN stats on 2 batches" in res3.stdout, \
+        res3.stdout[-2000:]
+    lines3 = open(res_path).read().strip().splitlines()
+    acc3 = float(lines3[1].split(",")[1])
+    assert 0.0 <= acc3 <= 1.0
+
 
 def test_mesh_parallel_evaluate_matches_single_device(trained_exp):
     """evaluate.py sharded over an 8-fake-device mesh must reproduce the

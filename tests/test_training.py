@@ -626,3 +626,41 @@ class TestBnRecalibration:
         for a, b in zip(jax.tree_util.tree_leaves(state.params),
                         jax.tree_util.tree_leaves(recal.params)):
             np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+    def test_preprocess_hook_shapes_the_estimate(self):
+        """recalibrate_batch_stats(preprocess=...) must run the hook
+        on-device before the forward: recalibrating on 3x-scaled inputs
+        via the hook must equal recalibrating on pre-scaled host batches
+        (this is how the CLIs feed wire-decode + device augmentation)."""
+        from leaf_tpu.training.bn_recalibrate import recalibrate_batch_stats
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": 16000},
+            "model": {"arch": "cifar_resnet", "model_depth": 20,
+                      "num_classes": 3, "type": "multiclass"},
+            "opt": {"optimizer": "SGD", "lr": 1e-2, "weight_decay": 0.0,
+                    "scheduler": "step", "step_size": 10, "gamma": 0.1,
+                    "batch_size": 2},
+        }
+        model = Classifier(cfg=cfg)
+        x0 = jnp.zeros((2, 16000), jnp.float32)
+        variables = model.init({"params": jax.random.PRNGKey(0)}, x0,
+                               train=False)
+        tx, _, _ = optimization_helper(cfg, num_tr_steps_per_epoch=10)
+        state = TrainState.create(
+            apply_fn=model.apply, params=variables["params"],
+            batch_stats=variables["batch_stats"], tx=tx)
+        x = np.asarray(
+            jax.random.normal(jax.random.PRNGKey(3), (2, 16000)) * 0.1)
+
+        hooked = recalibrate_batch_stats(
+            state, [x] * 3, jax.random.PRNGKey(5),
+            preprocess=lambda _, v: v * 3.0)
+        prescaled = recalibrate_batch_stats(
+            state, [x * 3.0] * 3, jax.random.PRNGKey(5))
+        for a, b in zip(
+                jax.tree_util.tree_leaves(hooked.batch_stats),
+                jax.tree_util.tree_leaves(prescaled.batch_stats)):
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=1e-6, atol=1e-7)

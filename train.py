@@ -95,6 +95,16 @@ def parse_args():
                         "are identical to K single steps. Forced to 1 when "
                         "--wandb_watch_model/--watch_histograms need "
                         "per-step metrics.")
+    p.add_argument("--bn_recalibrate", type=int, default=0, metavar="N",
+                   help="before each validation pass, re-estimate the "
+                        "BatchNorm running statistics from N train batches "
+                        "with FROZEN parameters (cycling the loader if the "
+                        "epoch is shorter). EfficientNet's torch-parity BN "
+                        "momentum 0.99 lags the parameters by O(1000) "
+                        "steps, so short runs eval with stale stats "
+                        "(CONVERGENCE.md: 40-epoch flagship at 0.531 with "
+                        "train-mode val at 1.00); N batches recover "
+                        "1-0.99^N of the gap (~400 for 98%). 0 = off.")
     p.add_argument("--profile_dir", type=str, default=None)
     p.add_argument("--platform", type=str, default=None,
                    help="force a jax platform (cpu/tpu) before first use")
@@ -484,6 +494,37 @@ def train(args):
             tr_loss = float(ep_loss) / n_steps
             tr_acc = (float(ep_correct) / max(1, int(ep_count))
                       if multiclass else 0.0)
+
+            # ------------------------------------------- BN re-calibration
+            if args.bn_recalibrate > 0:
+                # Freeze params, re-walk train batches to refresh the BN
+                # running stats before they are used (validation below +
+                # the checkpoint this epoch may save). Same device-side
+                # preprocessing as the train step so the estimate sees the
+                # trained input distribution.
+                from leaf_tpu.training.bn_recalibrate import (
+                    recalibrate_batch_stats)
+                from leaf_tpu.training.steps import waveform_from_wire
+
+                def recal_pre(key, x):
+                    x = waveform_from_wire(x)
+                    return tr_augment(key, x) if tr_augment else x
+
+                def recal_batches(n):
+                    done = 0
+                    while done < n:
+                        for bx, _ in iter(train_loader):
+                            yield shard_batch(mesh, jnp.asarray(bx))
+                            done += 1
+                            if done >= n:
+                                return
+
+                state = recalibrate_batch_stats(
+                    state, recal_batches(args.bn_recalibrate),
+                    jax.random.fold_in(step_rng, 10_000 + epoch),
+                    preprocess=recal_pre)
+                logger.print(f"recalibrated BN stats on "
+                             f"{args.bn_recalibrate} train batches")
 
             # --------------------------------------------------- validation
             # drop_last=False val remainders rarely divide the mesh: pad
