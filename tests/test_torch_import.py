@@ -371,3 +371,82 @@ class TestImportErrors:
         with pytest.raises(ValueError, match="unfilled"):
             import_torch_classifier(
                 {"model.linear.weight": head}, variables, "cifar_resnet")
+
+class TestLoadPretrainedBackbone:
+    """``load_pretrained_backbone``: the one-call user shim over
+    ``import_torch_backbone`` — local-file loading, model-name resolution
+    through the cache by the published filename convention (reference
+    models/efficientnet/utils.py:556-617), and the load_fc=False head
+    swap (model_helper.py:78-94). Download itself is untestable here
+    (zero egress); resolution failure must raise the actionable error."""
+
+    def _imagenet_sd(self):
+        from test_efficientnet_parity import _load_reference_efficientnet
+        enm = _load_reference_efficientnet()
+        ref = enm.EfficientNet.from_name("efficientnet-b0", in_channels=3,
+                                         num_classes=1000)
+        return ref.state_dict()
+
+    def _our_effnet(self):
+        from leaf_tpu.models import Classifier
+        cfg = {
+            "frontend": {"name": "leaf", "default_args": True},
+            "audio_config": {"sample_rate": SR},
+            "model": {"arch": "efficientnet", "model_depth": "b0",
+                      "num_classes": EFFNET_CLASSES, "type": "multiclass"},
+        }
+        ours = Classifier(cfg=cfg)
+        variables = ours.init(
+            {"params": jax.random.PRNGKey(0)},
+            jnp.zeros((2, SR), jnp.float32), train=False)
+        return variables
+
+    def test_explicit_path(self, tmp_path):
+        from leaf_tpu.models import load_pretrained_backbone
+        sd = self._imagenet_sd()
+        p = tmp_path / "effnet_b0_imagenet.pth"
+        torch.save(sd, str(p))
+        variables = self._our_effnet()
+        v2 = load_pretrained_backbone(str(p), variables, "efficientnet")
+        # migrated block weight; fresh head (load_fc=False default)
+        tk = sd["_blocks.3._depthwise_conv.weight"].numpy()
+        np.testing.assert_allclose(
+            v2["params"]["model"]["block_3"]["depthwise_conv"]["kernel"],
+            np.transpose(tk, (2, 3, 1, 0)), rtol=1e-6)
+        np.testing.assert_array_equal(
+            np.asarray(variables["params"]["model"]["fc"]["kernel"]),
+            v2["params"]["model"]["fc"]["kernel"])
+
+    def test_name_resolves_from_cache(self, tmp_path, monkeypatch):
+        import leaf_tpu.models.pretrained as pre
+        sd = self._imagenet_sd()
+        # lukemelas filename convention: <name>-<hash>.pth
+        torch.save(sd, str(tmp_path / "efficientnet-b0-355c32eb.pth"))
+        monkeypatch.setattr(pre, "_cache_dirs", lambda: [str(tmp_path)])
+        variables = self._our_effnet()
+        v2 = pre.load_pretrained_backbone("efficientnet-b0", variables,
+                                          "efficientnet")
+        tk = sd["_blocks.0._project_conv.weight"].numpy()
+        np.testing.assert_allclose(
+            v2["params"]["model"]["block_0"]["project_conv"]["kernel"],
+            np.transpose(tk, (2, 3, 1, 0)), rtol=1e-6)
+
+    def test_unknown_name_raises(self):
+        from leaf_tpu.models import load_pretrained_backbone
+        with pytest.raises(FileNotFoundError, match="efficientnet-b0"):
+            load_pretrained_backbone("not-a-model", {"params": {}},
+                                     "efficientnet")
+
+    def test_missing_weights_error_names_url(self, tmp_path, monkeypatch):
+        import leaf_tpu.models.pretrained as pre
+        monkeypatch.setattr(pre, "_cache_dirs",
+                            lambda: [str(tmp_path / "empty")])
+
+        def no_net(*a, **k):
+            raise OSError("network unreachable")
+
+        monkeypatch.setattr(torch.hub, "download_url_to_file", no_net)
+        with pytest.raises(FileNotFoundError,
+                           match="lukemelas/EfficientNet-PyTorch"):
+            pre.load_pretrained_backbone("efficientnet-b0", {"params": {}},
+                                         "efficientnet")
