@@ -62,8 +62,15 @@ def make_split(root: str, name: str, n_clips: int, seed: int,
     csv_path = os.path.join(root, f"{name}.csv")
     if os.path.exists(csv_path):
         # deterministic per (name, seed, n_clips, task): reuse the cached
-        # split when rerunning in the same --root (e.g. epoch sweeps)
-        if len(pd.read_csv(csv_path)) == n_clips:
+        # split when rerunning in the same --root (e.g. epoch sweeps).
+        # The generation params ride along as extra manifest columns
+        # (ignored by the dataset reader) so a rerun with a different
+        # --task/--seed regenerates instead of silently training on the
+        # stale split (clip counts alone can't tell them apart).
+        prev = pd.read_csv(csv_path)
+        if (len(prev) == n_clips and "task" in prev
+                and prev["task"].iloc[0] == task
+                and int(prev["seed"].iloc[0]) == seed):
             return
     os.makedirs(os.path.join(root, name), exist_ok=True)
     for i in range(n_clips):
@@ -82,7 +89,8 @@ def make_split(root: str, name: str, n_clips: int, seed: int,
         p = os.path.join(root, name, f"clip{i:05d}.wav")
         write_wav(p, x.astype(np.float32), SR)
         files.append(p)
-    pd.DataFrame({"files": files, "labels": labels}).to_csv(
+    pd.DataFrame({"files": files, "labels": labels,
+                  "task": task, "seed": seed}).to_csv(
         os.path.join(root, f"{name}.csv"), index=False)
 
 
@@ -134,6 +142,16 @@ def main():
                     choices=["multiclass", "multilabel"])
     ap.add_argument("--root", type=str, default=None,
                     help="dataset/exp dir (default: fresh tempdir)")
+    ap.add_argument("--bn_recalibrate", type=int, default=0,
+                    help="pass --bn_recalibrate N to evaluate.py: re-"
+                         "estimate the BN running stats from N train "
+                         "batches before scoring (the recorded fix for "
+                         "the momentum-0.99 EMA lag on short runs — "
+                         "CONVERGENCE.md's 40-epoch flagship row)")
+    ap.add_argument("--skip_train", action="store_true",
+                    help="reuse --root's existing expdir checkpoint and "
+                         "only run evaluate.py (e.g. to score the same "
+                         "run with and without --bn_recalibrate)")
     args = ap.parse_args()
 
     arch, depth = args.arch.split(":")
@@ -176,17 +194,27 @@ def main():
            "--save_every", str(max(1, args.epochs // 8))]
     if args.platform:
         cmd += ["--platform", args.platform]
-    t0 = time.time()
-    r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(
-        os.path.abspath(__file__))), env=env, capture_output=True, text=True)
-    train_s = time.time() - t0
-    sys.stderr.write(r.stdout[-4000:] + r.stderr[-2000:])
-    r.check_returncode()
-    accs = re.findall(r"val_(?:acc|mAP)[=: ]+([0-9.]+)", r.stdout)
+    accs, train_s = [], 0.0
+    if not args.skip_train:
+        t0 = time.time()
+        r = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), env=env, capture_output=True,
+            text=True)
+        train_s = time.time() - t0
+        sys.stderr.write(r.stdout[-4000:] + r.stderr[-2000:])
+        r.check_returncode()
+        accs = re.findall(r"val_(?:acc|mAP)[=: ]+([0-9.]+)", r.stdout)
 
     cmd = [sys.executable, "evaluate.py", "--test_csv_name", f"{te}.csv",
            "--exp_dir", expdir, "--meta_dir", root,
            "--metrics", args.task, "--separator", "|"]
+    if args.bn_recalibrate:
+        # a reused --root must re-score: drop the skip-if-present marker
+        res_txt = os.path.join(expdir, "results.txt")
+        if args.skip_train and os.path.exists(res_txt):
+            os.remove(res_txt)
+        cmd += ["--bn_recalibrate", str(args.bn_recalibrate),
+                "--train_csv_name", f"{tr}.csv"]
     if args.platform:
         cmd += ["--platform", args.platform]
     r2 = subprocess.run(cmd, cwd=os.path.dirname(os.path.dirname(
@@ -209,6 +237,7 @@ def main():
         "epochs": args.epochs,
         "train_clips": args.clips,
         "train_wall_s": round(train_s, 1),
+        "bn_recalibrate": args.bn_recalibrate,
         **extra,
     }))
 

@@ -214,7 +214,7 @@ class TestDatasets:
             for f in files[s * 6:(s + 1) * 6]:
                 idx = files.index(f)
                 records.append({
-                    "audio": open(f, "rb").read(),
+                    "audio": pathlib.Path(f).read_bytes(),
                     "label": f"class{idx % 3}",
                     "duration": SR,
                 })
@@ -505,7 +505,7 @@ class TestPackedLoader:
         files = pd.read_csv(manifest)["files"].tolist()
         shard_paths = []
         for s in range(3):
-            records = [{"audio": open(f, "rb").read(),
+            records = [{"audio": pathlib.Path(f).read_bytes(),
                         "label": f"class{files.index(f) % 3}",
                         "duration": SR}
                        for f in files[s * 4:(s + 1) * 4]]
