@@ -245,7 +245,7 @@ def main():
     # kernel win and re-admits degraded captures — round 3's failure mode).
     dev = jax.devices()[0]
     if (dev.platform == "tpu" and args.batch == 256 and not args.f32
-            and args.arch == "efficientnet:b0"):
+            and args.arch == "efficientnet:b0" and args.clip_seconds == 1.0):
         import datetime
         from bench import BASELINE_FILE, PIPELINED_GAP_MS
         rec = {}
